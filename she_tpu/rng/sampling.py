@@ -1,0 +1,86 @@
+"""Polynomial samplers: uniform / ternary / centered binomial.
+
+Byte-consumption order is bit-identical to the reference so that seeded
+uniform polynomials (ciphertext seed compression) interoperate
+(reference: Sources/HomomorphicEncryption/PolyRq/PolyRq+Randomize.swift:58-180).
+
+Samplers run on the host and return numpy arrays shaped [L, N] (RNS-major),
+holding fully reduced values in [0, q_i). Device code uploads these as
+uint32 limb tensors.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def sample_uniform(rng, moduli: list[int], degree: int) -> np.ndarray:
+    """Uniform in [0, q_i) per RNS row.
+
+    Per reference: chunks of min(N, 1024) coefficients; each coefficient
+    consumes 16 bytes (little-endian u128) reduced mod q_i; RNS rows are
+    sampled in order (PolyRq+Randomize.swift:58-85).
+    """
+    chunk = min(degree, 1024)
+    out = np.zeros((len(moduli), degree), dtype=object)
+    for rns_index, q in enumerate(moduli):
+        for base in range(0, degree, chunk):
+            data = rng.random_bytes(chunk * 16)
+            # vectorize u128 % q via two u64 halves
+            u = np.frombuffer(data, dtype="<u8").reshape(chunk, 2)
+            lo = u[:, 0].astype(object)
+            hi = u[:, 1].astype(object)
+            out[rns_index, base : base + chunk] = (hi * (1 << 64) + lo) % q
+    return out
+
+
+def sample_ternary(rng, moduli: list[int], degree: int) -> np.ndarray:
+    """Ternary {-1, 0, 1} secret, represented mod each q_i.
+
+    Per coefficient: u64 then u32 from the stream, u128 = u64<<32 | u32,
+    val = u128 % 3, mapped to val - 1 mod q_i
+    (PolyRq+Randomize.swift:88-117).
+    """
+    # Consume bytes in the same order: 8 bytes then 4 bytes per coefficient.
+    vals = np.zeros(degree, dtype=np.int64)
+    for i in range(degree):
+        u64 = rng.next_u64()
+        u32 = rng.next_u32()
+        vals[i] = ((u64 << 32) | u32) % 3
+    out = np.zeros((len(moduli), degree), dtype=object)
+    for rns_index, q in enumerate(moduli):
+        row = vals - 1  # in {-1, 0, 1}
+        out[rns_index] = np.where(row < 0, row + q, row).astype(object)
+    return out
+
+
+def cbd_k(std_dev: float) -> int:
+    """Number of bit-pairs for the centered binomial: k = ceil(2 sigma^2)."""
+    return math.ceil(2 * std_dev * std_dev)
+
+
+def sample_centered_binomial(rng, moduli: list[int], degree: int, std_dev: float) -> np.ndarray:
+    """Centered binomial error polynomial, represented mod each q_i.
+
+    k = ceil(2 sigma^2) (=21 for sigma=3.2); per coefficient two u64 draws,
+    masked to k bits each; value = popcount(t0) - popcount(t1)
+    (PolyRq+Randomize.swift:127-180).
+    """
+    k = cbd_k(std_dev)
+    n_u64 = 2 * ((k + 63) // 64)
+    half = n_u64 // 2
+    mask = (1 << (k % 64)) - 1 if k % 64 != 0 else (1 << 64) - 1
+    vals = np.zeros(degree, dtype=np.int64)
+    for i in range(degree):
+        trial = [rng.next_u64() for _ in range(n_u64)]
+        trial[half - 1] &= mask
+        trial[n_u64 - 1] &= mask
+        pos = sum(t.bit_count() for t in trial[:half])
+        neg = sum(t.bit_count() for t in trial[half:])
+        vals[i] = pos - neg
+    out = np.zeros((len(moduli), degree), dtype=object)
+    for rns_index, q in enumerate(moduli):
+        out[rns_index] = np.where(vals < 0, vals + q, vals).astype(object)
+    return out
