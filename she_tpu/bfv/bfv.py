@@ -1,0 +1,542 @@
+"""BFV scheme: contexts, keys, encode/encrypt/decrypt, ciphertext ops.
+
+TPU-native re-design of the reference's Bfv<T> (Sources/HomomorphicEncryption/
+Bfv/*.swift) over uint32 limb tensors. Host side: parameter/table
+precomputation, AES-CTR-DRBG sampling (bit-exact byte streams for seeded
+ciphertext interop). Device side: NTTs, modular MACs, scaling — all
+jax ops jit-compiled per (params, op) specialization.
+
+Canonical ciphertext format is Coeff, fresh ciphertexts have 2 polys, and
+the last coefficient modulus is reserved for key switching, as in the
+reference (Bfv.swift:31-41).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import errors
+from ..core import poly as polymod
+from ..core import rns as rnsmod
+from ..core.context import PolyContext, get_poly_context
+from ..core.poly import COEFF, EVAL, PolyRq
+from ..ops import limb
+from ..ops import word as wordmod
+from ..params import EncryptionParameters
+from ..rng import sampling
+from ..rng.ctr_drbg import BufferedRng, SystemRng, nist_aes128_ctr
+from ..utils import nt
+
+SEED_BYTES = 32
+FRESH_CIPHERTEXT_POLY_COUNT = 2
+MIN_NOISE_BUDGET = 0.0
+
+
+@lru_cache(maxsize=None)
+def get_bfv_context(params: EncryptionParameters) -> "BfvContext":
+    return BfvContext(params)
+
+
+class BfvContext:
+    """Per-parameter precomputation (reference Context.swift:94-143)."""
+
+    def __init__(self, params: EncryptionParameters):
+        self.params = params
+        bits = params.scalar_bits
+        degree = params.poly_degree
+        all_moduli = params.coefficient_moduli
+        self.secret_key_context = get_poly_context(degree, all_moduli, bits)
+        ct_moduli = all_moduli[:-1] if len(all_moduli) > 1 else all_moduli
+        self.ciphertext_context = get_poly_context(degree, ct_moduli, bits)
+        self.key_switch_modulus = all_moduli[-1] if len(all_moduli) > 1 else None
+        self.plaintext_context = get_poly_context(
+            degree, (params.plaintext_modulus,), bits
+        )
+        if self.key_switch_modulus is not None:
+            self.key_switching_contexts = [
+                get_poly_context(
+                    degree, ct_moduli[: i + 1] + (self.key_switch_modulus,), bits
+                )
+                for i in range(len(ct_moduli))
+            ]
+        else:
+            self.key_switching_contexts = []
+        self.simd_matrix = self._generate_encoding_matrix()
+        self._bsk_pool = rnsmod.bsk_prime_pool(degree, len(ct_moduli), bits)
+        self._rns_tools: dict[int, rnsmod.RnsTool] = {}
+
+    @property
+    def degree(self) -> int:
+        return self.params.poly_degree
+
+    @property
+    def plaintext_modulus(self) -> int:
+        return self.params.plaintext_modulus
+
+    @property
+    def supports_simd_encoding(self) -> bool:
+        return self.simd_matrix is not None
+
+    @property
+    def supports_evaluation_key(self) -> bool:
+        return self.params.supports_evaluation_key
+
+    def get_rns_tool(self, moduli_count: int) -> rnsmod.RnsTool:
+        if moduli_count not in self._rns_tools:
+            ctx = self.ciphertext_context.get_context(moduli_count)
+            self._rns_tools[moduli_count] = rnsmod.RnsTool(
+                ctx, self.plaintext_modulus, self._bsk_pool
+            )
+        return self._rns_tools[moduli_count]
+
+    def _generate_encoding_matrix(self):
+        """SIMD index matrix from powers of g=3, bit-reversed
+        (reference Encoding.swift:197-219)."""
+        t = self.params.plaintext_modulus
+        n = self.params.poly_degree
+        if not nt.is_ntt_modulus(t, n):
+            return None
+        log2n = nt.log2_exact(n)
+        row_size = n >> 1
+        mask = (n << 1) - 1
+        idx = np.zeros(n, dtype=np.int64)
+        g_pow = 1
+        for i in range(row_size):
+            index1 = (g_pow - 1) >> 1
+            index2 = (mask - g_pow) >> 1
+            idx[i] = nt.reverse_bits(index1, log2n)
+            idx[row_size | i] = nt.reverse_bits(index2, log2n)
+            g_pow = (g_pow * 3) & mask
+        return idx
+
+    def simd_dimensions(self):
+        if not self.supports_simd_encoding:
+            return None
+        return (2, self.degree // 2)
+
+
+# ---------------------------------------------------------------------------
+# Keys / plaintext / ciphertext containers
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SecretKey:
+    """Ternary secret stored in Eval over the secret-key context
+    (reference Bfv+Keys.swift:20-26)."""
+
+    poly: PolyRq  # eval, [W, L_all, N]
+
+
+@dataclass
+class Plaintext:
+    context: BfvContext
+    poly: PolyRq  # coeff over plaintext context, or eval over a ct context
+
+    @property
+    def fmt(self) -> str:
+        return self.poly.fmt
+
+
+@dataclass
+class Ciphertext:
+    context: BfvContext
+    polys: list[PolyRq]
+    correction_factor: int = 1
+    seed: bytes | None = None
+
+    @property
+    def fmt(self) -> str:
+        return self.polys[0].fmt
+
+    @property
+    def moduli_count(self) -> int:
+        return len(self.polys[0].moduli)
+
+    def poly_context(self) -> PolyContext:
+        return self.polys[0].context
+
+
+# ---------------------------------------------------------------------------
+# Key generation
+# ---------------------------------------------------------------------------
+
+
+def generate_secret_key(context: BfvContext, rng=None) -> SecretKey:
+    """Ternary secret sampled in Coeff, stored in Eval
+    (reference Bfv+Keys.swift:20-26)."""
+    rng = rng or SystemRng()
+    ctx = context.secret_key_context
+    vals = sampling.sample_ternary(rng, list(ctx.moduli), ctx.degree)
+    sk_coeff = PolyRq.from_values(vals, ctx, COEFF)
+    return SecretKey(polymod.forward_ntt(sk_coeff))
+
+
+# ---------------------------------------------------------------------------
+# Encoding
+# ---------------------------------------------------------------------------
+
+
+def encode(context: BfvContext, values, fmt: str = "coefficient") -> Plaintext:
+    """Unsigned values in [0, t) -> Coeff plaintext
+    (reference Encoding.swift:160-234)."""
+    t = context.plaintext_modulus
+    n = context.degree
+    values = list(values)
+    if len(values) > n:
+        raise errors.EncodingError(f"{len(values)} values > degree {n}")
+    for v in values:
+        if not 0 <= v < t:
+            raise errors.EncodingError(f"value {v} out of range [0, {t})")
+    if fmt == "coefficient":
+        row = np.zeros((1, n), dtype=object)
+        row[0, : len(values)] = values
+        return Plaintext(context, PolyRq.from_values(row, context.plaintext_context, COEFF))
+    if fmt == "simd":
+        if not context.supports_simd_encoding:
+            raise errors.SimdEncodingNotSupported(str(context.params))
+        row = np.zeros((1, n), dtype=object)
+        row[0, context.simd_matrix[: len(values)]] = values
+        ev = PolyRq.from_values(row, context.plaintext_context, EVAL)
+        return Plaintext(context, polymod.inverse_ntt(ev))
+    raise errors.EncodingError(f"unknown format {fmt}")
+
+
+def encode_signed(context: BfvContext, values, fmt: str = "coefficient") -> Plaintext:
+    t = context.plaintext_modulus
+    lo, hi = -(t >> 1), (t - 1) >> 1
+    centered = []
+    for v in values:
+        if not lo <= v <= hi:
+            raise errors.EncodingError(f"signed value {v} out of [{lo}, {hi}]")
+        centered.append(v % t)
+    return encode(context, centered, fmt)
+
+
+def decode(context: BfvContext, plaintext: Plaintext, fmt: str = "coefficient") -> list[int]:
+    pt = plaintext
+    if pt.poly.fmt == EVAL or pt.poly.context is not context.plaintext_context:
+        pt = plaintext_to_coeff(plaintext)
+    vals = pt.poly.to_values()[0]
+    if fmt == "coefficient":
+        return [int(v) for v in vals]
+    if fmt == "simd":
+        if not context.supports_simd_encoding:
+            raise errors.SimdEncodingNotSupported(str(context.params))
+        ev = polymod.forward_ntt(pt.poly)
+        evv = ev.to_values()[0]
+        return [int(evv[i]) for i in context.simd_matrix]
+    raise errors.EncodingError(f"unknown format {fmt}")
+
+
+def decode_signed(context: BfvContext, plaintext: Plaintext, fmt: str = "coefficient") -> list[int]:
+    t = context.plaintext_modulus
+    return [v - t if v > (t - 1) >> 1 else v for v in decode(context, plaintext, fmt)]
+
+
+def plaintext_to_eval(
+    context: BfvContext, plaintext: Plaintext, moduli_count: int | None = None
+) -> Plaintext:
+    """Coeff (mod t) -> Eval (mod q_0..q_{c-1}) via centered lift + NTT
+    (reference Plaintext.convertToEvalFormat, Plaintext.swift:149-171)."""
+    if plaintext.poly.fmt == EVAL:
+        return plaintext
+    c = moduli_count or len(context.ciphertext_context.moduli)
+    poly_ctx = context.ciphertext_context.get_context(c)
+    t = context.plaintext_modulus
+    t_threshold = (t + 1) // 2
+    src = plaintext.poly.word()[: poly_ctx.nlimbs]
+    src = plaintext.poly.word()
+    W = poly_ctx.word
+    rows = []
+    for i, qi in enumerate(poly_ctx.moduli):
+        inc = poly_ctx.scalar_word(qi - t)
+        if poly_ctx.nlimbs == 1:
+            cond = src[0][0] < np.uint32(t_threshold)
+            lifted = (jnp.where(cond, src[0][0], src[0][0] + inc[0]),)
+        else:
+            s = (src[0][0], src[1][0])
+            cond = limb.lt64(s, poly_ctx.scalar_word(t_threshold))
+            added = limb.add64(s, inc)
+            lifted = tuple(jnp.where(cond, a, b) for a, b in zip(s, added))
+        rows.append(lifted)
+    lifted_poly = PolyRq.from_word(polymod._stack_rows(rows), poly_ctx, COEFF)
+    return Plaintext(context, polymod.forward_ntt(lifted_poly))
+
+
+def plaintext_to_coeff(plaintext: Plaintext) -> Plaintext:
+    """Eval (mod q) -> Coeff (mod t) (reference Plaintext.swift:176-196)."""
+    if plaintext.poly.fmt == COEFF and len(plaintext.poly.moduli) == 1:
+        ctx0 = plaintext.poly.context
+        if ctx0.moduli[0] == plaintext.context.plaintext_modulus:
+            return plaintext
+    context = plaintext.context
+    t = context.plaintext_modulus
+    t_threshold = (t + 1) // 2
+    coeff = polymod.inverse_ntt(plaintext.poly)
+    q0 = coeff.context.moduli[0]
+    inc = q0 - t
+    w = coeff.word()
+    pctx = context.plaintext_context
+    if coeff.context.nlimbs == 1:
+        row = w[0][0]
+        cond = row >= np.uint32(t_threshold)
+        out = (jnp.where(cond, row - np.uint32(inc), row)[None],)
+    else:
+        s = (w[0][0], w[1][0])
+        cond = ~limb.lt64(s, pctx.scalar_word(t_threshold))
+        subbed = limb.sub64(s, pctx.scalar_word(inc))
+        out = tuple(jnp.where(cond, a, b)[None] for a, b in zip(subbed, s))
+    return Plaintext(context, PolyRq.from_word(out, pctx, COEFF))
+
+
+# ---------------------------------------------------------------------------
+# Encryption
+# ---------------------------------------------------------------------------
+
+
+def encrypt_zero(
+    context: BfvContext,
+    secret_key: SecretKey,
+    seed: bytes | None = None,
+    err_rng=None,
+    poly_context: PolyContext | None = None,
+) -> Ciphertext:
+    """c = (-(a*s + e), a) with `a` expanded from a retained seed
+    (reference Bfv+Encrypt.swift:150-181)."""
+    ct_ctx = poly_context or context.ciphertext_context
+    seed = seed if seed is not None else os.urandom(SEED_BYTES)
+    a_rng = nist_aes128_ctr(seed)
+    a_vals = sampling.sample_uniform(a_rng, list(ct_ctx.moduli), ct_ctx.degree)
+    a = PolyRq.from_values(a_vals, ct_ctx, EVAL)
+
+    err_rng = err_rng or SystemRng()
+    e_vals = sampling.sample_centered_binomial(
+        err_rng, list(ct_ctx.moduli), ct_ctx.degree, context.params.error_std_dev.value
+    )
+    e = PolyRq.from_values(e_vals, ct_ctx, COEFF)
+
+    a_s = polymod.mul_poly_rows(a, secret_key.poly.word(), ct_ctx)
+    c0 = polymod.add(polymod.inverse_ntt(a_s), e)
+    c0 = polymod.neg(c0)
+    a_coeff = polymod.inverse_ntt(a)
+    return Ciphertext(context, [c0, a_coeff], correction_factor=1, seed=seed)
+
+
+def _plaintext_translate(ct: Ciphertext, pt: Plaintext, subtract: bool) -> Ciphertext:
+    """c0 +-= round(Q/t * m): Delta-scaling with rounding correction
+    (reference Bfv+Encrypt.swift:75-139)."""
+    if ct.correction_factor != 1:
+        raise errors.InvalidCorrectionFactor(str(ct.correction_factor))
+    if ct.fmt != COEFF or pt.poly.fmt != COEFF:
+        raise errors.InvalidFormat("plaintext translate requires Coeff")
+    context = ct.context
+    tool = context.get_rns_tool(ct.moduli_count)
+    ct_ctx = ct.polys[0].context
+    W = ct_ctx.word
+    t = context.plaintext_modulus
+    pctx = context.plaintext_context
+    t_rc = pctx.row_consts[0]
+    m = pt.poly.word()
+
+    # adjust = floor((qModT * m + tThreshold) / t)
+    q_mod_t = tool.q_mod_t % t
+    if ct_ctx.nlimbs == 1:
+        prod_lo, prod_hi = limb.mul32(m[0][0], np.uint32(q_mod_t))
+        s, c = limb.addc32(prod_lo, np.uint32(tool.t_threshold))
+        adjust, _ = wordmod.W32.div_floor(
+            s, prod_hi + c, pctx.row_word("q", 0), t_rc["k"], pctx.row_word("mu", 0)
+        )
+    else:
+        mw = (m[0][0], m[1][0])
+        p = limb.mul64(mw, pctx.scalar_word(q_mod_t))
+        thr = pctx.scalar_word(tool.t_threshold)
+        p = limb.add128(p, (thr[0], thr[1], jnp.zeros_like(p[0]), jnp.zeros_like(p[0])))
+        adjust, _ = wordmod.W64.div_floor(
+            p, pctx.row_word("q", 0), t_rc["k"], pctx.row_word("mu", 0)
+        )
+
+    c0w = ct.polys[0].word()
+    rows = []
+    for i, qi in enumerate(ct_ctx.moduli):
+        qw = ct_ctx.row_word("q", i)
+        delta = tool.q_div_t[i]
+        dw = ct_ctx.scalar_word(delta)
+        dws = ct_ctx.scalar_word(wordmod.shoup_const(delta, qi, ct_ctx.scalar_bits))
+        if ct_ctx.nlimbs == 1:
+            mrow = (m[0][0],)
+            adj = adjust
+        else:
+            mrow = (m[0][0], m[1][0])
+            adj = adjust
+        plain_delta = W.mul_shoup(mrow, dw, dws, qw)
+        # adjust < t < q_i, m values < t < q_i: valid addMod inputs
+        total = W.add_mod(plain_delta, adj, qw)
+        if subtract:
+            rows.append(W.sub_mod(polymod._row(c0w, i), total, qw))
+        else:
+            rows.append(W.add_mod(polymod._row(c0w, i), total, qw))
+    new_c0 = PolyRq.from_word(polymod._stack_rows(rows), ct_ctx, COEFF)
+    return Ciphertext(context, [new_c0] + ct.polys[1:], ct.correction_factor, None)
+
+
+def encrypt(pt: Plaintext, secret_key: SecretKey, seed: bytes | None = None, err_rng=None) -> Ciphertext:
+    ct = encrypt_zero(pt.context, secret_key, seed=seed, err_rng=err_rng)
+    out = _plaintext_translate(ct, pt, subtract=False)
+    out.seed = ct.seed
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Decryption / noise budget
+# ---------------------------------------------------------------------------
+
+
+def _dot_product_with_key(ct: Ciphertext, secret_key: SecretKey) -> PolyRq:
+    """sum_i c_i * s^i in Eval, then inverse NTT
+    (reference Bfv+Decrypt.swift:188-204)."""
+    polys = ct.polys
+    ct_ctx = polys[0].context
+    L = len(ct_ctx.moduli)
+    if ct.fmt == COEFF:
+        polys = [polymod.forward_ntt(p) for p in polys]
+    sk = PolyRq(secret_key.poly.data[:, :L, :], ct_ctx, EVAL)
+    acc = polys[0]
+    sk_power = sk
+    for idx, ci in enumerate(polys[1:]):
+        acc = polymod.add(acc, polymod.mul_eval(ci, sk_power))
+        if idx != len(polys) - 2:
+            sk_power = polymod.mul_eval(sk_power, sk)
+    return polymod.inverse_ntt(acc)
+
+
+def decrypt(ct: Ciphertext, secret_key: SecretKey) -> Plaintext:
+    context = ct.context
+    t = context.plaintext_modulus
+    dot = _dot_product_with_key(ct, secret_key)
+    scaling = nt.inverse_mod(ct.correction_factor % t, t)
+    tool = context.get_rns_tool(len(dot.moduli))
+    out = tool.scale_and_round(dot.word(), scaling)
+    return Plaintext(context, PolyRq.from_word(out, context.plaintext_context, COEFF))
+
+
+def noise_budget(ct: Ciphertext, secret_key: SecretKey) -> float:
+    """log2(Q / (2 |v*t|_inf)); host CRT composition
+    (reference Bfv+Decrypt.swift:116-174). Secret-leaking diagnostic."""
+    import math
+
+    dot = _dot_product_with_key(ct, secret_key)
+    vt = polymod.mul_scalar_rows(dot, [ct.context.plaintext_modulus] * len(dot.moduli))
+    tool = ct.context.get_rns_tool(len(dot.moduli))
+    composed = tool.crt_compose(vt.to_values())
+    Q = dot.context.q_product
+    q_div_2 = (Q + 1) >> 1
+    norm = max((Q - int(c) if int(c) > q_div_2 else int(c)) for c in composed)
+    if norm == 0:
+        return float("inf")
+    return math.log2(Q / (2 * norm))
+
+
+# ---------------------------------------------------------------------------
+# Ciphertext ops
+# ---------------------------------------------------------------------------
+
+
+def _check_ct_compat(a: Ciphertext, b: Ciphertext):
+    if a.context is not b.context:
+        raise errors.IncompatibleContexts("different BFV contexts")
+    if a.correction_factor != b.correction_factor:
+        raise errors.InvalidCorrectionFactor(
+            f"{a.correction_factor} vs {b.correction_factor}"
+        )
+    if len(a.polys) != len(b.polys):
+        raise errors.InvalidCiphertext("different poly counts")
+
+
+def ct_add(a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_ct_compat(a, b)
+    return Ciphertext(
+        a.context,
+        [polymod.add(x, y) for x, y in zip(a.polys, b.polys)],
+        a.correction_factor,
+    )
+
+
+def ct_sub(a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_ct_compat(a, b)
+    return Ciphertext(
+        a.context,
+        [polymod.sub(x, y) for x, y in zip(a.polys, b.polys)],
+        a.correction_factor,
+    )
+
+
+def ct_neg(a: Ciphertext) -> Ciphertext:
+    return Ciphertext(a.context, [polymod.neg(p) for p in a.polys], a.correction_factor)
+
+
+def ct_add_pt(a: Ciphertext, pt: Plaintext) -> Ciphertext:
+    return _plaintext_translate(a, pt, subtract=False)
+
+
+def ct_sub_pt(a: Ciphertext, pt: Plaintext) -> Ciphertext:
+    return _plaintext_translate(a, pt, subtract=True)
+
+
+def ct_mul_pt(a: Ciphertext, pt: Plaintext) -> Ciphertext:
+    """Eval ciphertext x Eval plaintext, pointwise
+    (reference Bfv.swift mulAssign(_:_:EvalPlaintext))."""
+    if a.fmt != EVAL or pt.poly.fmt != EVAL:
+        raise errors.InvalidFormat("ct*pt requires Eval formats")
+    if pt.poly.context is not a.polys[0].context:
+        raise errors.IncompatibleContexts("plaintext context mismatch")
+    return Ciphertext(
+        a.context,
+        [polymod.mul_eval(p, pt.poly) for p in a.polys],
+        a.correction_factor,
+    )
+
+
+def ct_to_eval(a: Ciphertext) -> Ciphertext:
+    if a.fmt == EVAL:
+        return a
+    return Ciphertext(
+        a.context, [polymod.forward_ntt(p) for p in a.polys], a.correction_factor, a.seed
+    )
+
+
+def ct_to_coeff(a: Ciphertext) -> Ciphertext:
+    if a.fmt == COEFF:
+        return a
+    return Ciphertext(
+        a.context, [polymod.inverse_ntt(p) for p in a.polys], a.correction_factor, a.seed
+    )
+
+
+def mod_switch_down(a: Ciphertext) -> Ciphertext:
+    """Drop the last ciphertext modulus (reference Bfv.swift:163-171)."""
+    if a.fmt != COEFF:
+        raise errors.InvalidFormat("modSwitchDown requires Coeff")
+    if a.moduli_count < 2:
+        raise errors.InvalidCiphertext("cannot drop below one modulus")
+    return Ciphertext(
+        a.context,
+        [polymod.divide_and_round_q_last(p) for p in a.polys],
+        a.correction_factor,
+    )
+
+
+def mod_switch_down_to_single(a: Ciphertext) -> Ciphertext:
+    while a.moduli_count > 1:
+        a = mod_switch_down(a)
+    return a
+
+
+def is_transparent(a: Ciphertext) -> bool:
+    """All polys except the first are zero (reference Bfv+Encrypt.swift:48-62)."""
+    return all(p.is_zero() for p in a.polys[1:])

@@ -1,0 +1,280 @@
+"""RNS machinery: approximate base conversion, BEHZ tool, CRT composition.
+
+TPU re-design of the reference's _RnsBaseConverter / _RnsTool / _CrtComposer
+(Sources/HomomorphicEncryption/RnsBaseConverter.swift:14-144,
+RnsTool.swift:18-475, CrtComposer.swift): all constants precomputed host-side
+with Python big ints; the device path is vectorized modular MACs over
+[L, N] limb tensors with exact double-width accumulation (wrapping, like
+the reference's DoubleWidth accumulators).
+
+Divergence note: the reference's per-level RnsTool slices a shared
+[B_0..B_L, m~] chain by prefix, so below the top level the m~ slot is
+occupied by an unused B prime (RnsTool.swift:190-199) — a path never
+exercised (ct-ct multiply happens before mod-switching). Here every level
+gets a consistent [B_level, m_sk, m~] base drawn from the same shared
+B_sk prime pool, so lower-level multiplies are actually correct.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import limb
+from ..ops import word as wordmod
+from ..ops.word import W32, W64
+from ..utils import nt
+from .context import PolyContext, get_poly_context
+from . import poly as polymod
+from .poly import PolyRq, COEFF
+
+
+class RnsBaseConverter:
+    """Approximate base conversion q -> t (eprint 2016/510 Eq. 2).
+
+    Output coefficients are (x + a_x * q) mod t_j with a_x in [0, L-1].
+    """
+
+    def __init__(self, input_context: PolyContext, output_context: PolyContext):
+        assert input_context.degree == output_context.degree
+        self.input_context = input_context
+        self.output_context = output_context
+        in_moduli = input_context.moduli
+        out_moduli = output_context.moduli
+        Q = input_context.q_product
+        # (q / q_i) mod t_j  [rows: t_j, cols: q_i]
+        self.punctured = [
+            [(Q // qi) % tj for qi in in_moduli] for tj in out_moduli
+        ]
+        # (q/q_i)^{-1} mod q_i with Shoup factors
+        self.inv_punctured = []
+        for qi in in_moduli:
+            v = nt.inverse_mod((Q // qi) % qi, qi)
+            self.inv_punctured.append(
+                (v, wordmod.shoup_const(v, qi, input_context.scalar_bits))
+            )
+
+    def convert_approximate_products(self, x):
+        """x: word [L_in, N] -> scaled products x_i * (q_i/q)^{-1} mod q_i."""
+        ctx = self.input_context
+        W = ctx.word
+        rows = []
+        for i in range(len(ctx.moduli)):
+            v, vs = self.inv_punctured[i]
+            rows.append(
+                W.mul_shoup(
+                    polymod._row(x, i),
+                    ctx.scalar_word(v),
+                    ctx.scalar_word(vs),
+                    ctx.row_word("q", i),
+                )
+            )
+        return polymod._stack_rows(rows)
+
+    def convert_approximate_using(self, products):
+        """products: word [L_in, N] -> word [L_out, N] in the output base."""
+        in_ctx = self.input_context
+        out_ctx = self.output_context
+        L_in = len(in_ctx.moduli)
+        out_rows = []
+        for j, tj in enumerate(out_ctx.moduli):
+            rc = out_ctx.row_consts[j]
+            qw = out_ctx.row_word("q", j)
+            if in_ctx.nlimbs == 1:
+                acc = None
+                for i in range(L_in):
+                    term = limb.mul32(products[0][i], np.uint32(self.punctured[j][i]))
+                    acc = term if acc is None else limb.add64(acc, term)
+                cw = {
+                    "mu32": np.uint32(rc["mu32"]),
+                    "r32": out_ctx.row_word("r32", j),
+                    "r32_shoup": out_ctx.row_word("r32_shoup", j),
+                }
+                out_rows.append(W32.reduce_u64(acc[0], acc[1], qw, cw))
+            else:
+                acc = None
+                for i in range(L_in):
+                    pw = in_ctx.scalar_word(self.punctured[j][i])
+                    term = limb.mul64(polymod._row(products, i), pw)
+                    acc = term if acc is None else limb.add128(acc, term)
+                cw = {
+                    "k": rc["k"],
+                    "mu": out_ctx.row_word("mu", j),
+                    "mu32": np.uint32(rc["mu32"]),
+                    "r32": out_ctx.row_word("r32", j),
+                    "r32_shoup": out_ctx.row_word("r32_shoup", j),
+                }
+                out_rows.append(W64.reduce_u128(acc, qw, cw))
+        return polymod._stack_rows(out_rows)
+
+    def convert_approximate(self, x):
+        """x: word [L_in, N] coeff -> word [L_out, N]."""
+        return self.convert_approximate_using(self.convert_approximate_products(x))
+
+    def crt_compose(self, values: np.ndarray) -> np.ndarray:
+        """Host-exact CRT composition: object array [L, N] -> [N] ints in [0, Q)."""
+        Q = self.input_context.q_product
+        moduli = self.input_context.moduli
+        out = np.zeros(values.shape[1], dtype=object)
+        for i, qi in enumerate(moduli):
+            gi = Q // qi
+            inv = nt.inverse_mod(gi % qi, qi)
+            out += (values[i] * inv % qi) * gi
+        return out % Q
+
+
+@lru_cache(maxsize=None)
+def bsk_prime_pool(degree: int, top_moduli_count: int, scalar_bits: int) -> tuple[int, ...]:
+    """Shared B_sk prime pool: top_moduli_count+1 primes of (bits-3) bits,
+    preferring small, NTT-friendly (reference RnsTool.swift:29-36)."""
+    bits = scalar_bits
+    return tuple(
+        nt.generate_primes(
+            [bits - 3] * (top_moduli_count + 1),
+            preferring_small=True,
+            ntt_degree=degree,
+            bit_width=bits,
+        )
+    )
+
+
+class RnsTool:
+    """Per-level BEHZ tool (eprint 2016/510): input base q = q_0..q_{L-1},
+    output modulus t, auxiliary base B_sk = [B, m_sk] plus m~."""
+
+    def __init__(
+        self,
+        input_context: PolyContext,
+        t: int,
+        bsk_pool: tuple[int, ...],
+    ):
+        self.input_context = input_context
+        self.t = t
+        bits = input_context.scalar_bits
+        degree = input_context.degree
+        L = len(input_context.moduli)
+        self.gamma = (1 << 30) - 20405 if bits == 32 else (1 << 62) - 40797
+        self.m_tilde = 1 << 16 if bits == 32 else 1 << 32
+
+        self.output_context = get_poly_context(degree, (t,), bits)
+        self.t_gamma_context = get_poly_context(degree, (t, self.gamma), bits)
+
+        bsk_moduli = bsk_pool[: L + 1]
+        self.bsk_context = get_poly_context(degree, bsk_moduli, bits)
+        self.b_context = get_poly_context(degree, bsk_moduli[:-1], bits)
+        self.m_sk = bsk_moduli[-1]
+        self.bsk_mtilde_context = get_poly_context(
+            degree, bsk_moduli + (self.m_tilde,), bits
+        )
+        self.q_bsk_context = get_poly_context(
+            degree, input_context.moduli + bsk_moduli, bits
+        )
+
+        Q = input_context.q_product
+        B = self.b_context.q_product
+        self.q_mod_t = Q % t
+        self.t_threshold = (t + 1) // 2
+        gamma_t = self.gamma * t
+        self.prod_gamma_t_mod_q = [gamma_t % qi for qi in input_context.moduli]
+        self.inverse_gamma_mod_t = nt.inverse_mod(self.gamma % t, t)
+        self.neg_inverse_q_mod_t_gamma = [
+            (-nt.inverse_mod(Q % m, m)) % m for m in (t, self.gamma)
+        ]
+        self.neg_inverse_q_mod_m_tilde = (-nt.inverse_mod(Q % self.m_tilde, self.m_tilde)) % self.m_tilde
+        self.q_div_t = [(Q // t) % qi for qi in input_context.moduli]
+        self.m_tilde_mod_q = [self.m_tilde % qi for qi in input_context.moduli]
+        self.q_mod_bsk = [Q % m for m in bsk_moduli]
+        self.inverse_m_tilde_mod_bsk = [
+            nt.inverse_mod(self.m_tilde % m, m) for m in bsk_moduli
+        ]
+        self.inverse_q_mod_bsk = [nt.inverse_mod(Q % m, m) for m in bsk_moduli]
+        self.inverse_b_mod_m_sk = nt.inverse_mod(B % self.m_sk, self.m_sk)
+        self.b_mod_q = [B % qi for qi in input_context.moduli]
+
+        self.convert_q_to_t_gamma = RnsBaseConverter(input_context, self.t_gamma_context)
+        self.convert_q_to_bsk = RnsBaseConverter(input_context, self.bsk_context)
+        self.convert_q_to_bsk_mtilde = RnsBaseConverter(
+            input_context, self.bsk_mtilde_context
+        )
+        self.convert_b_to_m_sk = RnsBaseConverter(
+            self.b_context, get_poly_context(degree, (self.m_sk,), bits)
+        )
+        self.convert_b_to_q = RnsBaseConverter(self.b_context, input_context)
+
+    # -- decryption scaling -------------------------------------------------
+
+    def scale_and_round(self, x, scaling_factor: int):
+        """BEHZ Alg 2 decryption scaling (RnsTool.swift:272-302).
+
+        x: word [L, N] coeff holding Delta*m + v; returns word [1, N] mod t.
+        """
+        ctx = self.input_context
+        W = ctx.word
+        tg = self.t_gamma_context
+        t = self.t
+
+        y = polymod.mul_scalar_rows(
+            PolyRq.from_word(x, ctx, COEFF), self.prod_gamma_t_mod_q
+        ).word()
+        z = self.convert_q_to_t_gamma.convert_approximate(y)
+        # z rows: [mod t, mod gamma]; multiply by -(Q^{-1}) mod {t, gamma}
+        rows = []
+        for j in range(2):
+            c = self.neg_inverse_q_mod_t_gamma[j]
+            qj = tg.moduli[j]
+            rows.append(
+                W.mul_shoup(
+                    polymod._row(z, j),
+                    tg.scalar_word(c),
+                    tg.scalar_word(wordmod.shoup_const(c, qj, ctx.scalar_bits)),
+                    tg.row_word("q", j),
+                )
+            )
+        poly_mod_t, poly_mod_gamma = rows
+
+        out_ctx = self.output_context
+        t_rc = out_ctx.row_consts[0]
+        tw = out_ctx.row_word("q", 0)
+
+        def reduce_mod_t(v):
+            """v: word holding value < gamma -> value mod t."""
+            if ctx.nlimbs == 1:
+                return W32.reduce_u32(v, tw, (np.uint32(t_rc["mu32"]),))
+            cw = {
+                "k": t_rc["k"],
+                "mu": out_ctx.row_word("mu", 0),
+                "mu32": np.uint32(t_rc["mu32"]),
+                "r32": out_ctx.row_word("r32", 0),
+                "r32_shoup": out_ctx.row_word("r32_shoup", 0),
+            }
+            return W64.reduce_u64_any(v, tw, cw)
+
+        gamma_w = tg.scalar_word(self.gamma)
+        corrected_gamma = self.gamma // 2
+        # gamma - polyModGamma (no wrap: polyModGamma < gamma)
+        if ctx.nlimbs == 1:
+            diff = (gamma_w[0] - poly_mod_gamma[0],)
+            exceeds = poly_mod_gamma[0] > np.uint32(corrected_gamma)
+        else:
+            diff = limb.sub64(gamma_w, poly_mod_gamma)
+            exceeds = limb.lt64(tg.scalar_word(corrected_gamma), poly_mod_gamma)
+        s_greater = W.neg_mod(reduce_mod_t(diff), tw)
+        s_less = reduce_mod_t(poly_mod_gamma)
+        s_gamma = tuple(jnp.where(exceeds, g, l) for g, l in zip(s_greater, s_less))
+        result = W.sub_mod(poly_mod_t, s_gamma, tw)
+
+        c = (self.inverse_gamma_mod_t * (scaling_factor % t)) % t
+        result = W.mul_shoup(
+            result,
+            out_ctx.scalar_word(c),
+            out_ctx.scalar_word(wordmod.shoup_const(c, t, ctx.scalar_bits)),
+            tw,
+        )
+        return tuple(r[None] for r in result)
+
+    # -- host helpers -------------------------------------------------------
+
+    def crt_compose(self, values: np.ndarray) -> np.ndarray:
+        return self.convert_q_to_bsk.crt_compose(values)

@@ -145,6 +145,17 @@ def mulhi64(x, y):
     return p[2], p[3]
 
 
+def add128(x, y):
+    """4-limb + 4-limb, wrapping mod 2^128."""
+    p0, c0 = addc32(x[0], y[0])
+    p1a, c1 = addc32(x[1], y[1])
+    p1, c1b = addc32(p1a, c0)
+    p2a, c2 = addc32(x[2], y[2])
+    p2, c2b = addc32(p2a, c1 + c1b)
+    p3 = x[3] + y[3] + c2 + c2b
+    return p0, p1, p2, p3
+
+
 def shr128(p, s: int):
     """(p0..p3) >> s for static 0 < s < 64, result as 64-bit pair.
 

@@ -146,6 +146,24 @@ class W32:
         return (r,)
 
     @staticmethod
+    def div_floor(plo, phi, q, k: int, mu):
+        """Exact (quot, rem) of a 64-bit value (plo, phi) < 2^2k divided by q;
+        Barrett quotient + corrections. quot must fit in uint32."""
+        assert 2 <= k <= 30
+        (q,), (mu,) = q, mu
+        t = u32((plo >> (k - 1)) | (phi << (32 - (k - 1))))
+        ulo, uhi = mul32(t, mu)
+        uu = u32((ulo >> (k + 1)) | (uhi << (32 - (k + 1))))
+        r = plo - uu * q
+        c1 = (r >= q).astype(jnp.uint32)
+        r = r - c1 * q
+        uu = uu + c1
+        c2 = (r >= q).astype(jnp.uint32)
+        r = r - c2 * q
+        uu = uu + c2
+        return (uu,), (r,)
+
+    @staticmethod
     def reduce_u32(x, q, mu32):
         """Arbitrary uint32 -> [0, q); mu32 = floor(2^32 / q)."""
         (x,), (q,), (mu32,) = x, q, mu32
@@ -157,9 +175,11 @@ class W32:
 
     @classmethod
     def reduce_u64(cls, lo, hi, q, consts):
-        """Exact (hi*2^32 + lo) mod q for arbitrary uint32 hi, lo arrays."""
-        hi_mod = cls.reduce_u32((hi,), q, consts["mu32"])
-        lo_mod = cls.reduce_u32((lo,), q, consts["mu32"])
+        """Exact (hi*2^32 + lo) mod q for arbitrary uint32 hi, lo arrays.
+        consts["mu32"] is a raw uint32 scalar."""
+        mu = (consts["mu32"],)
+        hi_mod = cls.reduce_u32((hi,), q, mu)
+        lo_mod = cls.reduce_u32((lo,), q, mu)
         term = cls.mul_shoup(hi_mod, consts["r32"], consts["r32_shoup"], q)
         return cls.add_mod(term, lo_mod, q)
 
@@ -227,6 +247,20 @@ class W64:
     def mulmod(cls, a, b, q, k: int, mu):
         """a * b mod q for a, b in [0, q), fully reduced."""
         return cls._barrett_2k(mul64(a, b), q, k, mu)
+
+    @staticmethod
+    def div_floor(p, q, k: int, mu):
+        """Exact (quot, rem) of 4-limb p < 2^2k divided by q (64-bit pair)."""
+        t = shr128(p, k - 1) if k > 1 else (p[0], p[1])
+        tu = mul64(t, mu)
+        uu = shr128(tu, k + 1)
+        r = sub64((p[0], p[1]), mullo64(uu, q))
+        one = (jnp.ones_like(r[0]), jnp.zeros_like(r[0]))
+        for _ in range(2):
+            ge = ~lt64(r, q)
+            r = select64(ge, sub64(r, q), r)
+            uu = select64(ge, add64(uu, one), uu)
+        return uu, r
 
     @classmethod
     def _reduce_limb(cls, v, q, consts):

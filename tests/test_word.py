@@ -119,7 +119,7 @@ def test_w32_reduce_u64(q):
     lo[:2] = [0xFFFFFFFF, 0]
     hi[:2] = [0xFFFFFFFF, 0]
     cw = {
-        "mu32": (np.uint32(c["mu32"]),),
+        "mu32": np.uint32(c["mu32"]),
         "r32": (np.uint32(c["r32"]),),
         "r32_shoup": (np.uint32(c["r32_shoup"]),),
     }
