@@ -540,3 +540,208 @@ def mod_switch_down_to_single(a: Ciphertext) -> Ciphertext:
 def is_transparent(a: Ciphertext) -> bool:
     """All polys except the first are zero (reference Bfv+Encrypt.swift:48-62)."""
     return all(p.is_zero() for p in a.polys[1:])
+
+
+# ---------------------------------------------------------------------------
+# Ciphertext-ciphertext multiply (BEHZ, eprint 2016/510)
+# ---------------------------------------------------------------------------
+
+
+def _compute_behz_polys(ct: Ciphertext) -> list[PolyRq]:
+    """Lift each poly to [q, B_sk] and NTT (reference Bfv+Multiply.swift:51-57)."""
+    tool = ct.context.get_rns_tool(ct.moduli_count)
+    out = []
+    for p in ct.polys:
+        lifted = tool.lift_q_to_qbsk(p.word())
+        lifted_poly = PolyRq.from_word(lifted, tool.q_bsk_context, COEFF)
+        out.append(polymod.forward_ntt(lifted_poly))
+    return out
+
+
+def multiply_without_scaling(a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """Tensor product in the extended base (Bfv+Multiply.swift:63-85)."""
+    if a.context is not b.context:
+        raise errors.IncompatibleContexts("different contexts")
+    if len(a.polys) != 2 or len(b.polys) != 2:
+        raise errors.InvalidCiphertext("multiply requires 2-poly ciphertexts")
+    if a.correction_factor != 1 or b.correction_factor != 1:
+        raise errors.InvalidCorrectionFactor("multiply requires correction factor 1")
+    if a.fmt != COEFF or b.fmt != COEFF:
+        raise errors.InvalidFormat("multiply requires canonical (Coeff) ciphertexts")
+    la, lb = _compute_behz_polys(a), _compute_behz_polys(b)
+    p0 = polymod.mul_eval(la[0], lb[0])
+    p1 = polymod.add(polymod.mul_eval(la[0], lb[1]), polymod.mul_eval(la[1], lb[0]))
+    p2 = polymod.mul_eval(la[1], lb[1])
+    return Ciphertext(a.context, [p0, p1, p2], correction_factor=1)
+
+
+def drop_extended_base(ct: Ciphertext) -> Ciphertext:
+    """[q, B_sk] -> q: multiply by t, inverse NTT, BEHZ floor
+    (Bfv+Multiply.swift:31-48)."""
+    count = ct.moduli_count
+    if count % 2 != 1 or count < 3:
+        raise errors.InvalidCiphertext("extended-base ciphertext must have odd moduli count >= 3")
+    scaling_count = (count - 1) // 2
+    tool = ct.context.get_rns_tool(scaling_count)
+    t = ct.context.plaintext_modulus
+    polys = []
+    for p in ct.polys:
+        scaled = polymod.mul_scalar_rows(p, [t] * count)
+        coeff = polymod.inverse_ntt(scaled)
+        floored = tool.floor_qbsk_to_q(coeff.word())
+        polys.append(PolyRq.from_word(floored, tool.input_context, COEFF))
+    return Ciphertext(ct.context, polys, ct.correction_factor)
+
+
+def ct_mul(a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """Full BEHZ ct*ct, yielding a 3-poly ciphertext (relinearize to get 2)."""
+    return drop_extended_base(multiply_without_scaling(a, b))
+
+
+# ---------------------------------------------------------------------------
+# Key switching: relinearize / Galois / rotations
+# ---------------------------------------------------------------------------
+
+
+def relinearize(ct: Ciphertext, evaluation_key) -> Ciphertext:
+    """3 -> 2 polys via the relinearization key (reference Bfv.swift:201-219)."""
+    from . import keys as keysmod
+
+    if len(ct.polys) != 3:
+        raise errors.InvalidCiphertext("relinearize requires 3 polys")
+    if ct.correction_factor != 1:
+        raise errors.InvalidCorrectionFactor(str(ct.correction_factor))
+    if evaluation_key.relinearization_key is None:
+        raise errors.MissingRelinearizationKey()
+    update = keysmod.compute_key_switching_update(
+        ct.context, ct.polys[2], evaluation_key.relinearization_key.key_switch_key
+    )
+    c0 = polymod.add(ct.polys[0], update[0])
+    c1 = polymod.add(ct.polys[1], update[1])
+    return Ciphertext(ct.context, [c0, c1], ct.correction_factor)
+
+
+def apply_galois(ct: Ciphertext, element: int, evaluation_key) -> Ciphertext:
+    """f(x) -> f(x^element) with key switching (reference Bfv.swift:174-198)."""
+    from . import keys as keysmod
+    from ..ops import galois as galoismod
+
+    if len(ct.polys) != 2:
+        raise errors.InvalidCiphertext("applyGalois requires 2 polys")
+    if ct.correction_factor != 1:
+        raise errors.InvalidCorrectionFactor(str(ct.correction_factor))
+    if ct.fmt != COEFF:
+        raise errors.InvalidFormat("applyGalois requires canonical (Coeff) format")
+    if evaluation_key.galois_key is None or element not in evaluation_key.galois_key.keys:
+        raise errors.MissingGaloisKey(str(element))
+    ct_ctx = ct.polys[0].context
+    import jax.numpy as jnp
+
+    qw = wordmod.as_word(jnp.asarray(ct_ctx.q_arr))
+    perm0 = galoismod.apply_galois_coeff(ct.polys[0].word(), qw, element, ct_ctx.word)
+    perm1 = galoismod.apply_galois_coeff(ct.polys[1].word(), qw, element, ct_ctx.word)
+    update = keysmod.compute_key_switching_update(
+        ct.context,
+        PolyRq.from_word(perm1, ct_ctx, COEFF),
+        evaluation_key.galois_key.keys[element],
+    )
+    c0 = polymod.add(PolyRq.from_word(perm0, ct_ctx, COEFF), update[0])
+    return Ciphertext(ct.context, [c0, update[1]], ct.correction_factor)
+
+
+def rotate_columns(ct: Ciphertext, step: int, evaluation_key) -> Ciphertext:
+    """SIMD column rotation (reference HeScheme.swift:1463-1470)."""
+    from ..ops import galois as galoismod
+
+    element = galoismod.rotating_columns_element(step, ct.context.degree)
+    return apply_galois(ct, element, evaluation_key)
+
+
+def swap_rows(ct: Ciphertext, evaluation_key) -> Ciphertext:
+    """SIMD row swap (reference HeScheme.swift:1472-1477)."""
+    from ..ops import galois as galoismod
+
+    element = galoismod.swapping_rows_element(ct.context.degree)
+    return apply_galois(ct, element, evaluation_key)
+
+
+def ct_mul_relin(a: Ciphertext, b: Ciphertext, evaluation_key) -> Ciphertext:
+    return relinearize(ct_mul(a, b), evaluation_key)
+
+
+def multiply_power_of_x(ct: Ciphertext, power: int) -> Ciphertext:
+    """Negacyclic shift of every poly (reference HeScheme.swift:1075)."""
+    return Ciphertext(
+        ct.context,
+        [polymod.multiply_power_of_x(p, power) for p in ct.polys],
+        ct.correction_factor,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inner products (PIR hot path; batched kernels in pir/)
+# ---------------------------------------------------------------------------
+
+
+def inner_product_ct_pt(cts: list[Ciphertext], pts: list) -> Ciphertext:
+    """sum_i ct_i * pt_i with lazy double-width accumulation
+    (reference Bfv.swift:236-651). pts entries may be None (skipped zero
+    plaintexts, as in PIR processed databases)."""
+    import jax.numpy as jnp
+
+    pairs = [(c, p) for c, p in zip(cts, pts) if p is not None]
+    if not pairs:
+        raise errors.InvalidCiphertext("empty inner product")
+    first_ct = pairs[0][0]
+    ct_ctx = pairs[0][1].poly.context
+    context = first_ct.context
+    nl = ct_ctx.nlimbs
+    n_polys = len(first_ct.polys)
+    L = len(ct_ctx.moduli)
+
+    # periodic reduction bound (reference reduces at maxLazy/2 intervals,
+    # Bfv.swift:266-311)
+    cap = max(1, ct_ctx.max_lazy_product_accumulation_count() // 2)
+    W = ct_ctx.word
+
+    out_polys = []
+    for comp in range(n_polys):
+        rows = []
+        for i in range(L):
+            rc = ct_ctx.row_consts[i]
+            qw = ct_ctx.row_word("q", i)
+            if nl == 1:
+                cdict = {
+                    "mu32": np.uint32(rc["mu32"]),
+                    "r32": ct_ctx.row_word("r32", i),
+                    "r32_shoup": ct_ctx.row_word("r32_shoup", i),
+                }
+                reduce_acc = lambda a: wordmod.W32.reduce_u64(a[0], a[1], qw, cdict)
+            else:
+                cdict = {
+                    "k": rc["k"],
+                    "mu": ct_ctx.row_word("mu", i),
+                    "mu32": np.uint32(rc["mu32"]),
+                    "r32": ct_ctx.row_word("r32", i),
+                    "r32_shoup": ct_ctx.row_word("r32_shoup", i),
+                }
+                reduce_acc = lambda a: wordmod.W64.reduce_u128(a, qw, cdict)
+            total = None
+            for start in range(0, len(pairs), cap):
+                acc = None
+                for ct, pt in pairs[start : start + cap]:
+                    cw = tuple(ct.polys[comp].data[l, i] for l in range(nl))
+                    pw = tuple(pt.poly.data[l, i] for l in range(nl))
+                    if nl == 1:
+                        term = limb.mul32(cw[0], pw[0])
+                        acc = term if acc is None else limb.add64(acc, term)
+                    else:
+                        term = limb.mul64(cw, pw)
+                        acc = term if acc is None else limb.add128(acc, term)
+                red = reduce_acc(acc)
+                total = red if total is None else W.add_mod(total, red, qw)
+            rows.append(total)
+        out_polys.append(
+            PolyRq.from_word(polymod._stack_rows(rows), ct_ctx, EVAL)
+        )
+    return Ciphertext(context, out_polys, first_ct.correction_factor)

@@ -1,0 +1,238 @@
+"""Evaluation keys: hybrid key-switching (alpha=1) with RNS decomposition.
+
+Reference: Sources/HomomorphicEncryption/Bfv/Bfv+Keys.swift:14-209 and
+Keys.swift:19-283 — one special key-switching modulus q_ks (the last
+coefficient modulus), key-switch keys are seeded encryptions of 0 over the
+full key-switching context with q_ks * currentKey folded into c0, and the
+update computes per-extended-modulus lazy double-width inner products
+(eprint 2021/204 App. B.2.3 + HPS trick).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import errors
+from ..core import poly as polymod
+from ..core.context import get_poly_context
+from ..core.poly import COEFF, EVAL, PolyRq
+from ..ops import galois as galoismod
+from ..ops import limb
+from ..ops import word as wordmod
+from ..rng.ctr_drbg import SystemRng
+
+
+@dataclass
+class KeySwitchKey:
+    """One 2-poly Eval ciphertext per decompose modulus, over the full
+    key-switching context {q_0..q_{L-1}, q_ks}."""
+
+    ciphertexts: list  # list[Ciphertext] (Eval)
+
+
+@dataclass
+class GaloisKey:
+    keys: dict  # element -> KeySwitchKey
+
+
+@dataclass
+class RelinearizationKey:
+    key_switch_key: KeySwitchKey
+
+
+@dataclass
+class EvaluationKey:
+    galois_key: GaloisKey | None = None
+    relinearization_key: RelinearizationKey | None = None
+
+
+@dataclass(frozen=True)
+class EvaluationKeyConfig:
+    """Reference Keys.swift:222-283."""
+
+    galois_elements: tuple[int, ...] = ()
+    has_relinearization_key: bool = False
+
+    def union(self, other: "EvaluationKeyConfig") -> "EvaluationKeyConfig":
+        return EvaluationKeyConfig(
+            tuple(sorted(set(self.galois_elements) | set(other.galois_elements))),
+            self.has_relinearization_key or other.has_relinearization_key,
+        )
+
+    def contains(self, other: "EvaluationKeyConfig") -> bool:
+        return set(other.galois_elements) <= set(self.galois_elements) and (
+            self.has_relinearization_key or not other.has_relinearization_key
+        )
+
+    @property
+    def key_count(self) -> int:
+        return len(self.galois_elements) + (1 if self.has_relinearization_key else 0)
+
+
+def generate_key_switch_key(context, current_key_word, target_key, err_rng=None):
+    """Key-switch key from `current_key` (Eval word over >= L_top rows) to
+    the target secret key (reference Bfv+Keys.swift:69-103)."""
+    from . import bfv as bfvmod
+
+    if not context.supports_evaluation_key:
+        raise errors.HeError("parameters do not support evaluation keys")
+    ks_ctx = context.key_switching_contexts[-1]
+    ct_ctx = context.ciphertext_context
+    q_ks = context.key_switch_modulus
+    ciphers = []
+    for i, qi in enumerate(ct_ctx.moduli):
+        ct = bfvmod.encrypt_zero(
+            context, target_key, err_rng=err_rng, poly_context=ks_ctx
+        )
+        ct = bfvmod.ct_to_eval(ct)
+        # c0.row[i] += (q_ks mod q_i) * currentKey.row[i] mod q_i
+        W = ks_ctx.word
+        c0 = ct.polys[0]
+        c0w = c0.word()
+        row = polymod._row(c0w, i)
+        cur = polymod._row(current_key_word, i)
+        c = q_ks % qi
+        prod = W.mul_shoup(
+            cur,
+            ks_ctx.scalar_word(c),
+            ks_ctx.scalar_word(wordmod.shoup_const(c, qi, ks_ctx.scalar_bits)),
+            ks_ctx.row_word("q", i),
+        )
+        new_row = W.add_mod(row, prod, ks_ctx.row_word("q", i))
+        data = c0.data
+        for l in range(ks_ctx.nlimbs):
+            data = data.at[l, i].set(new_row[l])
+        ct.polys[0] = PolyRq(data, ks_ctx, EVAL)
+        ct.seed = None
+        ciphers.append(ct)
+    return KeySwitchKey(ciphers)
+
+
+def generate_relinearization_key(context, secret_key, err_rng=None) -> RelinearizationKey:
+    sk_ctx = context.secret_key_context
+    sk = secret_key.poly
+    s2 = polymod.mul_eval(sk, sk)
+    return RelinearizationKey(
+        generate_key_switch_key(context, s2.word(), secret_key, err_rng=err_rng)
+    )
+
+
+def generate_galois_key(context, secret_key, elements, err_rng=None) -> GaloisKey:
+    keys = {}
+    for element in elements:
+        if element in keys:
+            continue
+        switched = galoismod.apply_galois_eval(secret_key.poly.word(), element)
+        keys[element] = generate_key_switch_key(
+            context, switched, secret_key, err_rng=err_rng
+        )
+    return GaloisKey(keys)
+
+
+def generate_evaluation_key(
+    context, config: EvaluationKeyConfig, secret_key, err_rng=None
+) -> EvaluationKey:
+    galois = (
+        generate_galois_key(context, secret_key, config.galois_elements, err_rng)
+        if config.galois_elements
+        else None
+    )
+    relin = (
+        generate_relinearization_key(context, secret_key, err_rng)
+        if config.has_relinearization_key
+        else None
+    )
+    return EvaluationKey(galois, relin)
+
+
+def compute_key_switching_update(context, target: PolyRq, ksk: KeySwitchKey):
+    """Key-switching update for a Coeff target polynomial: returns
+    [u0, u1] Coeff polys over the target's context
+    (reference Bfv+Keys.swift:123-208)."""
+    if target.fmt != COEFF:
+        raise errors.InvalidFormat("key switch target must be Coeff")
+    t_ctx = target.context
+    L_t = len(t_ctx.moduli)
+    ks_ctx = context.key_switching_contexts[L_t - 1]
+    top_ks_ctx = context.key_switching_contexts[-1]
+    degree = t_ctx.degree
+    nl = t_ctx.nlimbs
+    n_components = len(ksk.ciphertexts[0].polys)
+    tw = target.word()
+
+    out_rows = [[] for _ in range(n_components)]  # per component, per rns row
+    for rns_index in range(L_t + 1):
+        key_modulus = ks_ctx.moduli[rns_index]
+        # the key ciphertexts live over the top KS context; its q_ks row is last
+        key_row = (
+            len(top_ks_ctx.moduli) - 1 if rns_index == L_t else rns_index
+        )
+        km_ctx = get_poly_context(degree, (key_modulus,), t_ctx.scalar_bits)
+        km_rc = km_ctx.row_consts[0]
+        # gather decompose rows, reduced mod key_modulus where needed
+        bufs = []
+        for j in range(L_t):
+            qj = t_ctx.moduli[j]
+            row = polymod._row(tw, j)
+            if qj > key_modulus:
+                if nl == 1:
+                    row = wordmod.W32.reduce_u32(
+                        row, km_ctx.row_word("q", 0), (np.uint32(km_rc["mu32"]),)
+                    )
+                else:
+                    cw = {
+                        "k": km_rc["k"],
+                        "mu": km_ctx.row_word("mu", 0),
+                        "mu32": np.uint32(km_rc["mu32"]),
+                        "r32": km_ctx.row_word("r32", 0),
+                        "r32_shoup": km_ctx.row_word("r32_shoup", 0),
+                    }
+                    row = wordmod.W64.reduce_u64_any(row, km_ctx.row_word("q", 0), cw)
+            bufs.append(row)
+        # batch-NTT all decompose rows mod key_modulus: [L_t, 1, N]
+        stacked = tuple(jnp.stack([b[l] for b in bufs])[:, None, :] for l in range(nl))
+        from ..ops import ntt as nttmod
+
+        ntt_bufs = nttmod.forward_ntt(stacked, km_ctx.ntt_tables)
+        # lazy double-width inner product with the key ciphertexts
+        for comp in range(n_components):
+            acc = None
+            for j in range(L_t):
+                buf = tuple(a[j, 0] for a in ntt_bufs)
+                key_poly = ksk.ciphertexts[j].polys[comp]
+                kw = tuple(key_poly.data[l, key_row] for l in range(nl))
+                if nl == 1:
+                    term = limb.mul32(buf[0], kw[0])
+                    acc = term if acc is None else limb.add64(acc, term)
+                else:
+                    term = limb.mul64(buf, kw)
+                    acc = term if acc is None else limb.add128(acc, term)
+            if nl == 1:
+                cw = {
+                    "mu32": np.uint32(km_rc["mu32"]),
+                    "r32": km_ctx.row_word("r32", 0),
+                    "r32_shoup": km_ctx.row_word("r32_shoup", 0),
+                }
+                red = wordmod.W32.reduce_u64(acc[0], acc[1], km_ctx.row_word("q", 0), cw)
+            else:
+                cw = {
+                    "k": km_rc["k"],
+                    "mu": km_ctx.row_word("mu", 0),
+                    "mu32": np.uint32(km_rc["mu32"]),
+                    "r32": km_ctx.row_word("r32", 0),
+                    "r32_shoup": km_ctx.row_word("r32_shoup", 0),
+                }
+                red = wordmod.W64.reduce_u128(acc, km_ctx.row_word("q", 0), cw)
+            out_rows[comp].append(red)
+    # assemble Eval polys over the KS context, inverse NTT, drop q_ks
+    updates = []
+    for comp in range(n_components):
+        w = polymod._stack_rows(out_rows[comp])
+        p = PolyRq.from_word(w, ks_ctx, EVAL)
+        p = polymod.inverse_ntt(p)
+        p = polymod.divide_and_round_q_last(p)
+        updates.append(p)
+    return updates

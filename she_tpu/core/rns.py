@@ -274,6 +274,167 @@ class RnsTool:
         )
         return tuple(r[None] for r in result)
 
+    # -- BEHZ ct-ct multiply machinery (eprint 2016/510) --------------------
+
+    def _shoup_mul_row(self, ctx: PolyContext, row, c: int, q: int):
+        """row word * host constant c mod q (Shoup)."""
+        W = ctx.word
+        return W.mul_shoup(
+            row,
+            ctx.scalar_word(c % q),
+            ctx.scalar_word(wordmod.shoup_const(c % q, q, ctx.scalar_bits)),
+            ctx.scalar_word(q),
+        )
+
+    def convert_approximate_bsk_mtilde(self, x):
+        """Alg 1: x*m~ mod q, approximately converted to [B_sk, m~]
+        (RnsTool.swift:313-316). x: word [L, N] coeff."""
+        ctx = self.input_context
+        scaled = polymod.mul_scalar_rows(
+            PolyRq.from_word(x, ctx, COEFF), self.m_tilde_mod_q
+        ).word()
+        return self.convert_q_to_bsk_mtilde.convert_approximate(scaled)
+
+    def small_montgomery_reduce(self, y):
+        """Montgomery correction: input word [L_bsk+1, N] over [B_sk, m~]
+        -> word [L_bsk, N] over B_sk, multiplied by m~^{-1} mod q
+        (RnsTool.swift:339-368)."""
+        bctx = self.bsk_context
+        W = bctx.word
+        L_bsk = len(bctx.moduli)
+        m_tilde = self.m_tilde
+        mask = m_tilde - 1
+        r = polymod._row(y, L_bsk)  # m~ row
+        # r_mtilde = -(Q^{-1}) * r mod m~  (m~ is a power of two)
+        neg_inv = self.neg_inverse_q_mod_m_tilde
+        if bctx.nlimbs == 1:
+            r_mtilde = ((r[0] * np.uint32(neg_inv)) & np.uint32(mask),)
+            less = r_mtilde[0] < np.uint32(m_tilde >> 1)
+        else:
+            prod = limb.mullo64(r, bctx.scalar_word(neg_inv))
+            mw = bctx.scalar_word(mask)
+            r_mtilde = (prod[0] & mw[0], prod[1] & mw[1])
+            less = limb.lt64(r_mtilde, bctx.scalar_word(m_tilde >> 1))
+        rows = []
+        for i, bsk in enumerate(bctx.moduli):
+            qw = bctx.row_word("q", i)
+            # center r_mtilde: if >= m~/2, use r_mtilde + bsk - m~ (wrapping)
+            if bctx.nlimbs == 1:
+                shifted = (r_mtilde[0] + np.uint32(bsk) - np.uint32(m_tilde),)
+            else:
+                shifted = limb.add64(
+                    limb.sub64(r_mtilde, bctx.scalar_word(m_tilde)), bctx.scalar_word(bsk)
+                )
+            rm = tuple(jnp.where(less, a, b) for a, b in zip(r_mtilde, shifted))
+            # poly += qModBsk * rm (lazy), then * m~^{-1} mod bsk
+            q_mod = self.q_mod_bsk[i]
+            lazy = W.mul_shoup_lazy(
+                rm,
+                bctx.scalar_word(q_mod % bsk),
+                bctx.scalar_word(wordmod.shoup_const(q_mod % bsk, bsk, bctx.scalar_bits)),
+                qw,
+            )
+            if bctx.nlimbs == 1:
+                acc = (polymod._row(y, i)[0] + lazy[0],)
+            else:
+                acc = limb.add64(polymod._row(y, i), lazy)
+            inv_mt = self.inverse_m_tilde_mod_bsk[i]
+            rows.append(
+                W.mul_shoup(
+                    acc,
+                    bctx.scalar_word(inv_mt),
+                    bctx.scalar_word(wordmod.shoup_const(inv_mt, bsk, bctx.scalar_bits)),
+                    qw,
+                )
+            )
+        return polymod._stack_rows(rows)
+
+    def lift_q_to_qbsk(self, x):
+        """Alg 2: word [L, N] over q -> word [L + L_bsk, N] over [q, B_sk]
+        (RnsTool.swift:324-331)."""
+        bsk = self.small_montgomery_reduce(self.convert_approximate_bsk_mtilde(x))
+        return tuple(jnp.concatenate([a, b], axis=0) for a, b in zip(x, bsk))
+
+    def approximate_floor(self, y):
+        """Uncorrected RNS floor: word [L + L_bsk, N] over [q, B_sk] ->
+        word [L_bsk, N] = floor(x/q) + a_x over B_sk (RnsTool.swift:378-398)."""
+        L = len(self.input_context.moduli)
+        bctx = self.bsk_context
+        W = bctx.word
+        x_q = tuple(a[:L] for a in y)
+        x_bsk = tuple(a[L:] for a in y)
+        conv = self.convert_q_to_bsk.convert_approximate(x_q)
+        rows = []
+        for i, bsk in enumerate(bctx.moduli):
+            qw = bctx.row_word("q", i)
+            # inverseQModBsk * (x_bsk + bsk - conv)  [input in (0, 2bsk)]
+            if bctx.nlimbs == 1:
+                diff = (polymod._row(x_bsk, i)[0] + np.uint32(bsk) - polymod._row(conv, i)[0],)
+            else:
+                diff = limb.add64(
+                    limb.sub64(polymod._row(x_bsk, i), polymod._row(conv, i)),
+                    bctx.scalar_word(bsk),
+                )
+            inv_q = self.inverse_q_mod_bsk[i]
+            rows.append(
+                W.mul_shoup(
+                    diff,
+                    bctx.scalar_word(inv_q),
+                    bctx.scalar_word(wordmod.shoup_const(inv_q, bsk, bctx.scalar_bits)),
+                    qw,
+                )
+            )
+        return polymod._stack_rows(rows)
+
+    def convert_approximate_bsk_to_q(self, y):
+        """Shenoy-Kumaresan with m_sk centering: word [L_bsk, N] over B_sk ->
+        word [L, N] over q (RnsTool.swift:402-450)."""
+        ctx = self.input_context
+        bctx = self.b_context
+        W = ctx.word
+        L_b = len(bctx.moduli)
+        x_b = tuple(a[:L_b] for a in y)
+        x_msk = tuple(a[L_b:][0] for a in y)  # [N]
+        m_sk = self.m_sk
+        products = self.convert_b_to_m_sk.convert_approximate_products(x_b)
+        alpha = polymod._row(self.convert_b_to_m_sk.convert_approximate_using(products), 0)
+        msk_ctx = self.convert_b_to_m_sk.output_context
+        # alpha = B^{-1} * (alpha + m_sk - x_msk) mod m_sk
+        if ctx.nlimbs == 1:
+            diff = (alpha[0] + np.uint32(m_sk) - x_msk[0],)
+        else:
+            diff = limb.add64(limb.sub64(alpha, x_msk), msk_ctx.scalar_word(m_sk))
+        inv_b = self.inverse_b_mod_m_sk
+        alpha = W.mul_shoup(
+            diff,
+            msk_ctx.scalar_word(inv_b),
+            msk_ctx.scalar_word(wordmod.shoup_const(inv_b, m_sk, ctx.scalar_bits)),
+            msk_ctx.row_word("q", 0),
+        )
+        if ctx.nlimbs == 1:
+            exceeds = alpha[0] > np.uint32(m_sk >> 1)
+            msk_minus_alpha = (np.uint32(m_sk) - alpha[0],)
+        else:
+            exceeds = limb.lt64(msk_ctx.scalar_word(m_sk >> 1), alpha)
+            msk_minus_alpha = limb.sub64(msk_ctx.scalar_word(m_sk), alpha)
+
+        products_q = self.convert_b_to_q.convert_approximate_products(x_b)
+        out = self.convert_b_to_q.convert_approximate_using(products_q)
+        rows = []
+        for i, qi in enumerate(ctx.moduli):
+            qw = ctx.row_word("q", i)
+            b_mod = self.b_mod_q[i]
+            adj_gt = self._shoup_mul_row(ctx, msk_minus_alpha, b_mod, qi)
+            adj_le = self._shoup_mul_row(ctx, alpha, (-b_mod) % qi, qi)
+            adj = tuple(jnp.where(exceeds, g, l) for g, l in zip(adj_gt, adj_le))
+            rows.append(W.add_mod(polymod._row(out, i), adj, qw))
+        return polymod._stack_rows(rows)
+
+    def floor_qbsk_to_q(self, y):
+        """word [L + L_bsk, N] over [q, B_sk] -> floor(x/q) over q
+        (RnsTool.swift:453-456)."""
+        return self.convert_approximate_bsk_to_q(self.approximate_floor(y))
+
     # -- host helpers -------------------------------------------------------
 
     def crt_compose(self, values: np.ndarray) -> np.ndarray:
