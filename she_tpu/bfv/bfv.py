@@ -269,6 +269,31 @@ def plaintext_to_eval(
     return Plaintext(context, polymod.forward_ntt(lifted_poly))
 
 
+def batch_encode_to_eval(context: BfvContext, coeff_rows: np.ndarray, moduli_count: int | None = None) -> list:
+    """Batch-encode many coefficient-format plaintexts (object array [B, N]
+    of values mod t) into Eval plaintexts with ONE batched NTT — the TPU-fast
+    path for PIR/PNNS database processing."""
+    from ..ops import ntt as nttmod
+
+    c = moduli_count or len(context.ciphertext_context.moduli)
+    poly_ctx = context.ciphertext_context.get_context(c)
+    t = context.plaintext_modulus
+    t_threshold = (t + 1) // 2
+    B = coeff_rows.shape[0]
+    L = len(poly_ctx.moduli)
+    lifted = np.zeros((B, L, poly_ctx.degree), dtype=object)
+    for i, qi in enumerate(poly_ctx.moduli):
+        lifted[:, i, :] = np.where(coeff_rows < t_threshold, coeff_rows, coeff_rows + (qi - t))
+    packed = wordmod.pack(lifted, poly_ctx.nlimbs)  # [W, B, L, N]
+    w = tuple(jnp.asarray(packed[i]) for i in range(poly_ctx.nlimbs))
+    ev = nttmod.forward_ntt(w, poly_ctx.ntt_tables)
+    stacked = jnp.stack(ev)  # [W, B, L, N]
+    out = []
+    for b in range(B):
+        out.append(Plaintext(context, PolyRq(stacked[:, b], poly_ctx, EVAL)))
+    return out
+
+
 def plaintext_to_coeff(plaintext: Plaintext) -> Plaintext:
     """Eval (mod q) -> Coeff (mod t) (reference Plaintext.swift:176-196)."""
     if plaintext.poly.fmt == COEFF and len(plaintext.poly.moduli) == 1:
@@ -596,6 +621,23 @@ def drop_extended_base(ct: Ciphertext) -> Ciphertext:
 def ct_mul(a: Ciphertext, b: Ciphertext) -> Ciphertext:
     """Full BEHZ ct*ct, yielding a 3-poly ciphertext (relinearize to get 2)."""
     return drop_extended_base(multiply_without_scaling(a, b))
+
+
+def inner_product_ct_ct(lhs: list[Ciphertext], rhs: list[Ciphertext]) -> Ciphertext:
+    """sum_i lhs_i * rhs_i, accumulated in the extended [q, B_sk] base with a
+    single scaling/floor at the end (reference Bfv.swift:236-651)."""
+    acc = None
+    for a, b in zip(lhs, rhs):
+        prod = multiply_without_scaling(a, b)
+        if acc is None:
+            acc = prod
+        else:
+            acc = Ciphertext(
+                acc.context,
+                [polymod.add(x, y) for x, y in zip(acc.polys, prod.polys)],
+                acc.correction_factor,
+            )
+    return drop_extended_base(acc)
 
 
 # ---------------------------------------------------------------------------
