@@ -150,6 +150,15 @@ class Ciphertext:
     correction_factor: int = 1
     seed: bytes | None = None
 
+    def tree_flatten(self):
+        return (self.polys,), (self.context, self.correction_factor, self.seed)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1], aux[2]) if False else cls(
+            context=aux[0], polys=children[0], correction_factor=aux[1], seed=aux[2]
+        )
+
     @property
     def fmt(self) -> str:
         return self.polys[0].fmt
@@ -160,6 +169,18 @@ class Ciphertext:
 
     def poly_context(self) -> PolyContext:
         return self.polys[0].context
+
+
+import jax as _jax
+
+_jax.tree_util.register_pytree_node(
+    Ciphertext, Ciphertext.tree_flatten, Ciphertext.tree_unflatten
+)
+_jax.tree_util.register_pytree_node(
+    Plaintext,
+    lambda p: ((p.poly,), (p.context,)),
+    lambda aux, ch: Plaintext(aux[0], ch[0]),
+)
 
 
 # ---------------------------------------------------------------------------

@@ -10,9 +10,11 @@ update computes per-extended-modulus lazy double-width inner products
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import errors
@@ -31,6 +33,13 @@ class KeySwitchKey:
     key-switching context {q_0..q_{L-1}, q_ks}."""
 
     ciphertexts: list  # list[Ciphertext] (Eval)
+
+
+jax.tree_util.register_pytree_node(
+    KeySwitchKey,
+    lambda k: ((k.ciphertexts,), ()),
+    lambda aux, ch: KeySwitchKey(ch[0]),
+)
 
 
 @dataclass

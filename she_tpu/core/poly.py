@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -92,18 +94,21 @@ def _qw(ctx: PolyContext):
     return wordmod.as_word(jnp.asarray(ctx.q_arr))
 
 
+@jax.jit
 def add(a: PolyRq, b: PolyRq) -> PolyRq:
     _check_same(a, b)
     W = a.context.word
     return PolyRq.from_word(W.add_mod(a.word(), b.word(), _qw(a.context)), a.context, a.fmt)
 
 
+@jax.jit
 def sub(a: PolyRq, b: PolyRq) -> PolyRq:
     _check_same(a, b)
     W = a.context.word
     return PolyRq.from_word(W.sub_mod(a.word(), b.word(), _qw(a.context)), a.context, a.fmt)
 
 
+@jax.jit
 def neg(a: PolyRq) -> PolyRq:
     W = a.context.word
     return PolyRq.from_word(W.neg_mod(a.word(), _qw(a.context)), a.context, a.fmt)
@@ -119,6 +124,7 @@ def _stack_rows(rows):
     return tuple(jnp.stack([r[l] for r in rows]) for l in range(nl))
 
 
+@jax.jit
 def mul_eval(a: PolyRq, b: PolyRq) -> PolyRq:
     """Pointwise product in Eval format (reference PolyRq *=,
     PolyRq.swift:184-204). Per-row Barrett with static k."""
@@ -136,6 +142,7 @@ def mul_eval(a: PolyRq, b: PolyRq) -> PolyRq:
     return PolyRq.from_word(_stack_rows(rows), ctx, EVAL)
 
 
+@functools.partial(jax.jit, static_argnums=2)
 def mul_poly_rows(a: PolyRq, other_word, other_context: PolyContext) -> PolyRq:
     """Pointwise product with the matching leading rows of another poly's
     word (e.g. a secret key over a larger context). Used by encrypt/decrypt
@@ -151,9 +158,14 @@ def mul_poly_rows(a: PolyRq, other_word, other_context: PolyContext) -> PolyRq:
     return PolyRq.from_word(_stack_rows(rows), ctx, a.fmt)
 
 
-def mul_scalar_rows(a: PolyRq, constants: list[int]) -> PolyRq:
+def mul_scalar_rows(a: PolyRq, constants) -> PolyRq:
     """Multiply row i by host constant constants[i] (Shoup), matching
     reference PolyRq *= [T] (PolyRq.swift:232-245)."""
+    return _mul_scalar_rows(a, tuple(constants))
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _mul_scalar_rows(a: PolyRq, constants) -> PolyRq:
     ctx = a.context
     W = ctx.word
     aw = a.word()
@@ -166,6 +178,7 @@ def mul_scalar_rows(a: PolyRq, constants: list[int]) -> PolyRq:
     return PolyRq.from_word(_stack_rows(rows), ctx, a.fmt)
 
 
+@jax.jit
 def forward_ntt(a: PolyRq) -> PolyRq:
     if a.fmt != COEFF:
         raise errors.InvalidFormat("forward NTT requires Coeff")
@@ -173,6 +186,7 @@ def forward_ntt(a: PolyRq) -> PolyRq:
     return PolyRq.from_word(out, a.context, EVAL)
 
 
+@jax.jit
 def inverse_ntt(a: PolyRq) -> PolyRq:
     if a.fmt != EVAL:
         raise errors.InvalidFormat("inverse NTT requires Eval")
@@ -188,6 +202,7 @@ def drop_context(a: PolyRq, target: PolyContext) -> PolyRq:
     return PolyRq(a.data[:, : len(target.moduli), :], target, a.fmt)
 
 
+@jax.jit
 def divide_and_round_q_last(a: PolyRq) -> PolyRq:
     """Divide+round by the last modulus, dropping it — BFV mod switch
     (reference PolyRq.divideAndRoundQLast, PolyRq.swift:365-393;
@@ -232,6 +247,7 @@ def divide_and_round_q_last(a: PolyRq) -> PolyRq:
     return PolyRq.from_word(_stack_rows(rows), nxt, COEFF)
 
 
+@functools.partial(jax.jit, static_argnums=1)
 def multiply_power_of_x(a: PolyRq, power: int) -> PolyRq:
     """Negacyclic multiply by x^power (reference PolyRq.multiplyPowerOfX,
     PolyRq.swift:398-422). `power` is static (specializes the jit trace)."""

@@ -17,7 +17,10 @@ B_sk prime pool, so lower-level multiplies are actually correct.
 
 from __future__ import annotations
 
+import functools
 from functools import lru_cache
+
+import jax
 
 import numpy as np
 import jax.numpy as jnp

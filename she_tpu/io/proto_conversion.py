@@ -356,6 +356,51 @@ def ciphertext_matrix_from_proto(msg, context, fmt=COEFF, moduli_count=None):
     )
 
 
+def pnns_client_config_to_proto(config):
+    msg = pb.pnns_pb2.ClientConfig()
+    msg.encryption_parameters.CopyFrom(
+        encryption_parameters_to_proto(config.encryption_parameters[0])
+    )
+    msg.scaling_factor = config.scaling_factor
+    msg.query_packing.CopyFrom(matrix_packing_to_proto(config.query_packing))
+    msg.vector_dimension = config.vector_dimension
+    msg.galois_elements.extend(config.evaluation_key_config.galois_elements)
+    msg.distance_metric = pb.pnns_pb2.DISTANCE_METRIC_COSINE_SIMILARITY
+    msg.extra_plaintext_moduli.extend(config.extra_plaintext_moduli)
+    return msg
+
+
+def pnns_server_config_to_proto(config):
+    msg = pb.pnns_pb2.ServerConfig()
+    msg.client_config.CopyFrom(pnns_client_config_to_proto(config.client_config))
+    msg.database_packing.CopyFrom(matrix_packing_to_proto(config.database_packing))
+    return msg
+
+
+def pnns_client_config_from_proto(msg, scalar_bits: int = 64):
+    from ..bfv import keys as keysmod
+    from ..pnns import pnns
+
+    ep = encryption_parameters_from_proto(msg.encryption_parameters, scalar_bits)
+    return pnns.ClientConfig.create(
+        ep,
+        int(msg.scaling_factor),
+        matrix_packing_from_proto(msg.query_packing),
+        int(msg.vector_dimension),
+        keysmod.EvaluationKeyConfig(tuple(int(e) for e in msg.galois_elements)),
+        extra_plaintext_moduli=tuple(int(t) for t in msg.extra_plaintext_moduli),
+    )
+
+
+def pnns_server_config_from_proto(msg, scalar_bits: int = 64):
+    from ..pnns import pnns
+
+    return pnns.ServerConfig(
+        pnns_client_config_from_proto(msg.client_config, scalar_bits),
+        matrix_packing_from_proto(msg.database_packing),
+    )
+
+
 def pnns_database_to_proto(database):
     msg = pb.pnns_pb2.Database()
     for row in database.rows:
