@@ -169,13 +169,13 @@ def test_cli_pir_pipeline(tmp_path):
         "outputEvaluationKeyConfig": str(tmp_path / "ekconfig.binpb"),
         "rlweParameters": "insecure_n_8_logq_5x18_logt_5",
         "sharding": {"shardCount": 1},
-        "trialsPerShard": 0,
+        "trialsPerShard": 1,
     }
     config_path = str(tmp_path / "config.json")
     with open(config_path, "w") as f:
         json.dump(config, f)
     out = run_cli("pir_process_database", config_path)
-    assert "Wrote shard 0" in out
+    assert "noiseBudget" in out
     assert os.path.exists(str(tmp_path / "processed-0.bin"))
     assert os.path.exists(str(tmp_path / "params-0.binpb"))
     assert os.path.exists(str(tmp_path / "ekconfig.binpb"))
@@ -202,13 +202,13 @@ def test_cli_pnns_pipeline(tmp_path):
         "inputDatabase": db_path,
         "outputDatabase": str(tmp_path / "pnns-processed.binpb"),
         "rlweParameters": "insecure_n_8_logq_5x18_logt_5",
-        "trialsPerShard": 0,
+        "trialsPerShard": 1,
     }
     config_path = str(tmp_path / "pnns-config.json")
     with open(config_path, "w") as f:
         json.dump(config, f)
     out = run_cli("pnns_process_database", config_path)
-    assert "Wrote processed database" in out
+    assert "self-similarity" in out
     assert os.path.exists(config["outputDatabase"])
 
 
