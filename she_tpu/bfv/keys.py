@@ -58,6 +58,23 @@ class EvaluationKey:
     relinearization_key: RelinearizationKey | None = None
 
 
+jax.tree_util.register_pytree_node(
+    GaloisKey,
+    lambda g: (tuple(g.keys[k] for k in sorted(g.keys)), tuple(sorted(g.keys))),
+    lambda aux, ch: GaloisKey(dict(zip(aux, ch))),
+)
+jax.tree_util.register_pytree_node(
+    RelinearizationKey,
+    lambda r: ((r.key_switch_key,), ()),
+    lambda aux, ch: RelinearizationKey(ch[0]),
+)
+jax.tree_util.register_pytree_node(
+    EvaluationKey,
+    lambda e: ((e.galois_key, e.relinearization_key), ()),
+    lambda aux, ch: EvaluationKey(ch[0], ch[1]),
+)
+
+
 @dataclass(frozen=True)
 class EvaluationKeyConfig:
     """Reference Keys.swift:222-283."""

@@ -115,13 +115,14 @@ def neg(a: PolyRq) -> PolyRq:
 
 
 def _row(w, i):
-    return tuple(x[i] for x in w)
+    """Row i of a word of [..., L, N] arrays -> word of [..., N]."""
+    return tuple(x[..., i, :] for x in w)
 
 
 def _stack_rows(rows):
-    """list of L words of [N] -> word of [L, N]."""
+    """list of L words of [..., N] -> word of [..., L, N]."""
     nl = len(rows[0])
-    return tuple(jnp.stack([r[l] for r in rows]) for l in range(nl))
+    return tuple(jnp.stack([r[l] for r in rows], axis=-2) for l in range(nl))
 
 
 @jax.jit

@@ -1,0 +1,394 @@
+"""TPU-batched MulPIR serving.
+
+The TPU-native redesign of the reference's per-query threaded server
+(PirUtil.swift:408-568): throughput comes from batching, not threads.
+
+* **Level-batched oblivious expansion**: every node at one level of the
+  expansion tree applies the same Galois element, so each level is ONE
+  batched Galois + key-switch over a [nodes, ...] tensor (and the query
+  batch rides the same axis). log2(outputs) batched steps instead of
+  O(outputs) sequential ones.
+* **Stacked dim-0 kernel**: the database chunk is a dense [C, d0, W, L, N]
+  limb tensor (zero plaintexts stored as zeros); the ciphertext-plaintext
+  inner products for ALL columns compute as one vectorized multiply +
+  lazy double-width tree-reduction over d0.
+* **Batched higher dims**: BEHZ ct-ct inner products vmapped over columns.
+
+Everything is jitted per (parameter set, query batch); the same jitted
+function serves every batch.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import errors
+from ..bfv import bfv, keys
+from ..core import poly as polymod
+from ..core.poly import COEFF, EVAL, PolyRq
+from ..io import serialize as ser
+from ..ops import limb
+from ..ops import word as wordmod
+from ..utils import nt
+from . import index_pir as ip
+
+
+# ---------------------------------------------------------------------------
+# Expansion plan (host): static tree structure per output count
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ExpansionPlan:
+    """Per level: which node slots expand into two children; leaves record
+    (slot, double?) in final output order."""
+
+    output_count: int
+    levels: list  # level -> list of (parent_slot, child0_slot, child1_slot)
+    leaves: list  # output order -> (slot, doubled: bool)
+    slot_count: int
+
+
+def build_expansion_plan(output_count: int) -> ExpansionPlan:
+    """Mirror of the recursive expansion (PirUtil.swift:249-304) flattened
+    into per-level batched steps."""
+    levels: dict[int, list] = {}
+    leaves_by_id: dict[int, tuple] = {}
+    counter = [1]  # slot 0 = root
+
+    def recurse(slot: int, count: int, log_step: int, expected_height: int):
+        if count == 1:
+            leaves_by_id[slot] = (slot, log_step <= expected_height)
+            return [slot]
+        second = count >> 1
+        first = count - second
+        c0, c1 = counter[0], counter[0] + 1
+        counter[0] += 2
+        levels.setdefault(log_step, []).append((slot, c0, c1))
+        left = recurse(c0, first, log_step + 1, expected_height)
+        right = recurse(c1, second, log_step + 1, expected_height)
+        out = []
+        for a, b in zip(left[:second], right):
+            out.extend([a, b])
+        out.extend(left[second:])
+        return out
+
+    height = ser.ceil_log2(output_count)
+    order = recurse(0, output_count, 1, height)
+    max_level = max(levels) if levels else 0
+    return ExpansionPlan(
+        output_count=output_count,
+        levels=[levels.get(l, []) for l in range(1, max_level + 1)],
+        leaves=[leaves_by_id[slot] for slot in order],
+        slot_count=counter[0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched primitive steps (vmap over a leading node axis)
+# ---------------------------------------------------------------------------
+
+
+def _batched(fn, n_ct_args: int, **vmap_kwargs):
+    """vmap a ciphertext-consuming function over a leading batch axis."""
+    return jax.vmap(fn, in_axes=(0,) * n_ct_args + (None,) * 0, **vmap_kwargs)
+
+
+def _apply_galois_batched(cts, element: int, evaluation_key, context):
+    """cts: batched Ciphertext pytree (leading axis on poly data)."""
+    return jax.vmap(
+        lambda ct: bfv.apply_galois(ct, element, evaluation_key)
+    )(cts)
+
+
+def _stack_cts(cts: list) -> "bfv.Ciphertext":
+    """List of structurally identical ciphertexts -> batched pytree."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cts)
+
+
+def _unstack_cts(batched, n: int) -> list:
+    return [jax.tree_util.tree_map(lambda x: x[i], batched) for i in range(n)]
+
+
+def expand_batched(ciphertexts: list, output_count: int, evaluation_key, context) -> list:
+    """Level-batched oblivious expansion; bit-identical results to
+    ip.expand (same math, same tree)."""
+    degree = context.degree
+    out = []
+    remaining = output_count
+    for ct in ciphertexts:
+        n = min(remaining, degree)
+        out.extend(_expand_one_batched(ct, n, evaluation_key, context))
+        remaining -= n
+    return out
+
+
+def _expand_one_batched(ct, output_count: int, evaluation_key, context) -> list:
+    if output_count == 1:
+        # height 0: single output, no doubling (logStep 1 > height 0)
+        return [ct]
+    plan = build_expansion_plan(output_count)
+    log2n = nt.log2_exact(context.degree)
+    # slot table of ciphertexts; populate lazily level by level
+    slots: list = [None] * plan.slot_count
+    slots[0] = ct
+    for level_index, level in enumerate(plan.levels):
+        if not level:
+            continue
+        log_step = level_index + 1
+        shift = 1 << (log_step - 1)
+        target_element = (1 << (log2n - log_step + 1)) + 1
+        available = [
+            e for e in evaluation_key.galois_key.keys if e <= target_element
+        ]
+        if not available:
+            raise errors.MissingGaloisKey(str(target_element))
+        element = max(available)
+        apply_count = 1 << (
+            ser.floor_log2(target_element - 1) - ser.floor_log2(element - 1)
+        )
+        parents = _stack_cts([slots[p] for p, _, _ in level])
+        c1 = parents
+        for _ in range(apply_count):
+            c1 = _apply_galois_batched(c1, element, evaluation_key, context)
+        p0 = jax.vmap(bfv.ct_add)(c1, parents)
+        diff = jax.vmap(bfv.ct_sub)(parents, c1)
+        p1 = jax.vmap(lambda c: bfv.multiply_power_of_x(c, -shift))(diff)
+        p0_list = _unstack_cts(p0, len(level))
+        p1_list = _unstack_cts(p1, len(level))
+        for (parent, c0_slot, c1_slot), a, b in zip(level, p0_list, p1_list):
+            slots[c0_slot] = a
+            slots[c1_slot] = b
+    outs = []
+    for slot, doubled in plan.leaves:
+        c = slots[slot]
+        outs.append(bfv.ct_add(c, c) if doubled else c)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# Stacked dim-0 inner product
+# ---------------------------------------------------------------------------
+
+
+def pack_database_chunk(plaintexts: list, d0: int, ct_ctx) -> np.ndarray:
+    """Dense [C, d0, W, L, N] uint32 limb tensor; None plaintexts -> zeros
+    (zero products contribute nothing, matching nil-skipping)."""
+    C = len(plaintexts) // d0
+    W = ct_ctx.nlimbs
+    L = len(ct_ctx.moduli)
+    N = ct_ctx.degree
+    out = np.zeros((C, d0, W, L, N), dtype=np.uint32)
+    for c in range(C):
+        for j in range(d0):
+            pt = plaintexts[c * d0 + j]
+            if pt is not None:
+                out[c, j] = np.asarray(pt.poly.data)
+    return out
+
+
+def dim0_inner_products(db_chunk, query_eval, ct_ctx):
+    """db_chunk [C, d0, W, L, N] u32; query_eval [d0, polys=2, W, L, N] u32
+    -> [C, 2, W, L, N] reduced results (w32 path)."""
+    assert ct_ctx.nlimbs == 1
+    d0 = db_chunk.shape[1]
+    cap = max(1, ct_ctx.max_lazy_product_accumulation_count() // 2)
+    db = db_chunk[:, :, 0]  # [C, d0, L, N]
+    q = query_eval[:, :, 0]  # [d0, 2, L, N]
+    # products for both ciphertext polys: [C, d0, 2, L, N]
+    lo, hi = limb.mul32(db[:, :, None], q[None])
+    total = None
+    for start in range(0, d0, cap):
+        acc_lo = lo[:, start, ...]
+        acc_hi = hi[:, start, ...]
+        for j in range(start + 1, min(start + cap, d0)):
+            s = acc_lo + lo[:, j]
+            carry = (s < acc_lo).astype(jnp.uint32)
+            acc_lo = s
+            acc_hi = acc_hi + hi[:, j] + carry
+        red = _reduce_u64_rows(acc_lo, acc_hi, ct_ctx)  # [C, 2, L, N]
+        total = red if total is None else _add_mod_rows(total, red, ct_ctx)
+    return total[:, :, None]  # restore W axis
+
+
+def _reduce_u64_rows(lo, hi, ctx):
+    """Per-RNS-row exact reduction of 64-bit pairs ([..., L, N])."""
+    rows = []
+    for i, rc in enumerate(ctx.row_consts):
+        cw = {
+            "mu32": np.uint32(rc["mu32"]),
+            "r32": ctx.row_word("r32", i),
+            "r32_shoup": ctx.row_word("r32_shoup", i),
+        }
+        rows.append(
+            wordmod.W32.reduce_u64(lo[..., i, :], hi[..., i, :], ctx.row_word("q", i), cw)[0]
+        )
+    return jnp.stack(rows, axis=-2)
+
+
+def _add_mod_rows(a, b, ctx):
+    q = jnp.asarray(ctx.q_arr)[0, :, 0][:, None]  # [L, 1]
+    s = a + b
+    return jnp.minimum(s, s - q)
+
+
+# ---------------------------------------------------------------------------
+# Batched server
+# ---------------------------------------------------------------------------
+
+
+class BatchedMulPirServer:
+    """Serves query batches with one jitted TPU program.
+
+    Restricted to the w32 fast path (scalar_bits=32 parameter sets) — the
+    configuration recommended for TPU serving.
+    """
+
+    def __init__(self, parameter: ip.IndexPirParameter, context, databases: list):
+        self.parameter = parameter
+        self.context = context
+        self.ct_ctx = context.ciphertext_context
+        if self.ct_ctx.nlimbs != 1:
+            raise errors.PirError("BatchedMulPirServer requires a w32 parameter set")
+        self.databases = databases
+        d0 = parameter.dimensions[0]
+        n_chunks = ip.chunk_count(parameter, context)
+        self.chunks = []  # per database, per chunk: packed tensor
+        for db in databases:
+            per_chunk = db.count // n_chunks
+            packed = [
+                jnp.asarray(
+                    pack_database_chunk(db.plaintexts[s : s + per_chunk], d0, self.ct_ctx)
+                )
+                for s in range(0, db.count, per_chunk)
+            ]
+            self.chunks.append(packed)
+        self._respond_jit = {}
+
+    def _respond_one(self, query_cts: list, evaluation_key, db_index: int):
+        """Traced single-query response (same math as MulPirServer)."""
+        parameter = self.parameter
+        indices_count = getattr(self, "_indices_count", 1)
+        expanded_all = expand_batched(
+            query_cts,
+            parameter.expanded_query_count * indices_count,
+            evaluation_key,
+            self.context,
+        )
+        per_query = parameter.expanded_query_count
+        replies = []
+        for qi in range(indices_count):
+            expanded = expanded_all[qi * per_query : (qi + 1) * per_query]
+            replies.append(
+                self._respond_expanded(
+                    expanded, evaluation_key, qi if len(self.chunks) > 1 else 0
+                )
+            )
+        return replies
+
+    def _respond_expanded(self, expanded: list, evaluation_key, db_index: int):
+        parameter = self.parameter
+        d0 = parameter.dimensions[0]
+        dim0 = [bfv.ct_to_eval(c) for c in expanded[:d0]]
+        rest = expanded[d0:]
+        query_eval = jnp.stack(
+            [jnp.stack([c.polys[0].data, c.polys[1].data]) for c in dim0]
+        )  # [d0, 2, W, L, N]
+        reply = []
+        for chunk in self.chunks[db_index]:
+            results = dim0_inner_products(chunk, query_eval, self.ct_ctx)  # [C,2,W,L,N]
+            C = results.shape[0]
+            columns = [
+                bfv.Ciphertext(
+                    self.context,
+                    [
+                        polymod.inverse_ntt(
+                            PolyRq(results[c, p], self.ct_ctx, EVAL)
+                        )
+                        for p in range(2)
+                    ],
+                )
+                for c in range(C)
+            ]
+            query_start = 0
+            for dim_size in parameter.dimensions[1:]:
+                new_cols = []
+                for start in range(0, len(columns), dim_size):
+                    v0 = rest[query_start : query_start + dim_size]
+                    v1 = columns[start : start + dim_size]
+                    prod = bfv.inner_product_ct_ct(v0, v1)
+                    new_cols.append(bfv.relinearize(prod, evaluation_key))
+                columns = new_cols
+                query_start += dim_size
+            single = bfv.mod_switch_down_to_single(columns[0])
+            reply.append(bfv.ct_to_coeff(single))
+        return reply
+
+    def compute_response_batch(self, queries: list, evaluation_key) -> list:
+        """queries: list of ip.Query (one index each); returns list of
+        ip.Response. Uses one jitted program for the whole batch via vmap
+        over the query axis."""
+        B = len(queries)
+        n_ct = len(queries[0].ciphertexts)
+        self._indices_count = queries[0].indices_count
+        key = (B, n_ct, self._indices_count)
+        if key not in self._respond_jit:
+
+            def run(stacked_ct_data, ek):
+                # stacked_ct_data: [n_ct] list of [B, polys, W, L, N]
+                def one(per_query):
+                    cts = [
+                        bfv.Ciphertext(
+                            self.context,
+                            [
+                                PolyRq(per_query[i][p], self.ct_ctx, COEFF)
+                                for p in range(per_query[i].shape[0])
+                            ],
+                        )
+                        for i in range(n_ct)
+                    ]
+                    replies = self._respond_one(cts, ek, 0)
+                    return [
+                        [jnp.stack([p.data for p in ct.polys]) for ct in reply]
+                        for reply in replies
+                    ]
+
+                return jax.vmap(one)(stacked_ct_data)
+
+            self._respond_jit[key] = jax.jit(run)
+        stacked = [
+            jnp.stack(
+                [
+                    jnp.stack([p.data for p in q.ciphertexts[i].polys])
+                    for q in queries
+                ]
+            )
+            for i in range(n_ct)
+        ]
+        out = self._respond_jit[key](stacked, evaluation_key)
+        responses = []
+        single_ctx = self.ct_ctx.get_context(1)
+        for b in range(B):
+            per_index = []
+            for reply_arrays in out:
+                reply = []
+                for chunk_arrays in reply_arrays:
+                    arr = chunk_arrays[b]
+                    reply.append(
+                        bfv.Ciphertext(
+                            self.context,
+                            [
+                                PolyRq(arr[p], single_ctx, COEFF)
+                                for p in range(arr.shape[0])
+                            ],
+                        )
+                    )
+                per_index.append(reply)
+            responses.append(ip.Response(per_index))
+        return responses

@@ -1,0 +1,81 @@
+"""Batched TPU serving pipeline: bit-identical to the reference-path server."""
+
+import numpy as np
+import pytest
+
+from she_tpu import params as paramsmod
+from she_tpu.bfv import bfv
+from she_tpu.pir import index_pir as ip, serving
+from she_tpu.rng.ctr_drbg import nist_aes128_ctr
+
+
+def det_rng(tag=b"x"):
+    return nist_aes128_ctr((tag * 32)[:32])
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ep = paramsmod.from_predefined("insecure_n_8_logq_5x18_logt_5", 32)
+    ctx = bfv.get_bfv_context(ep)
+    sk = bfv.generate_secret_key(ctx, det_rng(b"s"))
+    config = ip.IndexPirConfig(
+        entry_count=10,
+        entry_size_in_bytes=2,
+        dimension_count=2,
+        batch_size=1,
+        uneven_dimensions=True,
+        key_compression=ip.PirKeyCompression.NO_COMPRESSION,
+    )
+    parameter = ip.generate_parameter(config, ctx)
+    rng = np.random.default_rng(11)
+    database = [bytes(rng.integers(0, 256, size=2).tolist()) for _ in range(10)]
+    processed = ip.MulPirServer.process(database, ctx, parameter)
+    client = ip.MulPirClient(parameter, ctx)
+    ek = client.generate_evaluation_key(sk, det_rng(b"k"))
+    return ctx, sk, parameter, database, processed, client, ek
+
+
+def test_expansion_plan_matches_recursive(setup):
+    ctx, sk, parameter, database, processed, client, ek = setup
+    for count in [2, 3, 5, 7, 8]:
+        one_indices = [0, count - 1]
+        cts = ip.compress_binary_inputs(count, one_indices, ctx, sk)
+        reference = ip.expand(cts, count, ek)
+        batched = serving.expand_batched(cts, count, ek, ctx)
+        assert len(batched) == len(reference)
+        for r, b in zip(reference, batched):
+            for rp, bp in zip(r.polys, b.polys):
+                assert (np.asarray(rp.data) == np.asarray(bp.data)).all(), count
+
+
+def test_batched_server_matches_reference(setup):
+    ctx, sk, parameter, database, processed, client, ek = setup
+    reference_server = ip.MulPirServer(parameter, ctx, [processed])
+    batched_server = serving.BatchedMulPirServer(parameter, ctx, [processed])
+    indices = [1, 4, 7]
+    queries = [client.generate_query([i], sk) for i in indices]
+    batch_responses = batched_server.compute_response_batch(queries, ek)
+    for i, (index, query) in enumerate(zip(indices, queries)):
+        ref_response = reference_server.compute_response(query, ek)
+        got = client.decrypt(batch_responses[i], [index], sk)
+        ref = client.decrypt(ref_response, [index], sk)
+        assert got == ref
+        assert got[0][:2] == database[index]
+        # bit-identical ciphertexts
+        for ref_reply, got_reply in zip(ref_response.ciphertexts, batch_responses[i].ciphertexts):
+            for rc, gc in zip(ref_reply, got_reply):
+                for rp, gp in zip(rc.polys, gc.polys):
+                    assert (np.asarray(rp.data) == np.asarray(gp.data)).all()
+
+
+def test_batched_server_repeat_uses_cached_jit(setup):
+    ctx, sk, parameter, database, processed, client, ek = setup
+    server = serving.BatchedMulPirServer(parameter, ctx, [processed])
+    queries = [client.generate_query([2], sk), client.generate_query([3], sk)]
+    r1 = server.compute_response_batch(queries, ek)
+    r2 = server.compute_response_batch(queries, ek)
+    assert len(server._respond_jit) == 1
+    for a, b in zip(r1, r2):
+        for ra, rb in zip(a.ciphertexts[0], b.ciphertexts[0]):
+            for pa, pb in zip(ra.polys, rb.polys):
+                assert (np.asarray(pa.data) == np.asarray(pb.data)).all()
