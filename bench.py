@@ -1,28 +1,34 @@
-"""Benchmark: negacyclic NTT throughput on TPU (north-star metric #1).
+"""Benchmarks on real TPU hardware.
 
-Config matches BASELINE.md / RlweBenchmark: N=8192, 3 RNS moduli
-(the 3x55-bit w64 set from n_8192_logq_3x55_logt_42, i.e. the reference's
-Bfv<UInt64> flagship config). One "transform" = one full forward NTT of a
-[3, 8192] RNS polynomial (all 3 limbs).
+Headline metric (BASELINE.json north star): MulPIR queries/sec on a
+1,000,000-entry x 1-byte database (PirBenchmarkUtilities.swift:129 default),
+parameter set n_4096_logq_27_28_28_logt_5 (w32 fast path), served by the
+batched TPU pipeline. Prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"}; secondary numbers go to stderr.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-vs_baseline: the reference publishes no absolute numbers (BASELINE.md);
-the Swift CPU estimate used here is ~1000 polys/sec (3x55-bit moduli,
-N=8192: ~0.3-0.4 ms per 8192-point 64-bit NTT per modulus on a fast
-x86/ARM core with -cross-module-optimization, x3 moduli).
+vs_baseline: the reference publishes no numbers (BASELINE.md). The Swift CPU
+estimate used here is 20 queries/sec for the full machine (MulPIR-family
+servers report ~100-500 ms/query single-core on 1M small entries; the
+reference parallelizes across ~8-16 cores).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-SWIFT_CPU_BASELINE_TRANSFORMS_PER_SEC = 1000.0
+SWIFT_CPU_BASELINE_QUERIES_PER_SEC = 20.0
+SWIFT_CPU_BASELINE_NTT_PER_SEC = 1000.0
 
 
-def main():
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def bench_ntt():
+    """Secondary: forward NTT transforms/sec at N=8192, 3x55-bit moduli."""
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +39,6 @@ def main():
     degree = 8192
     nlimbs = 2
     batch = 64
-
     tables = nttmod.build_ntt_tables(moduli, degree, nlimbs)
     rng = np.random.default_rng(0)
     rows = np.zeros((batch, len(moduli), degree), dtype=object)
@@ -44,13 +49,10 @@ def main():
     @jax.jit
     def fwd(x):
         w = tuple(x[i] for i in range(nlimbs))
-        out = nttmod.forward_ntt(w, tables)
-        return jnp.stack(out)
+        return jnp.stack(nttmod.forward_ntt(w, tables))
 
     x = jnp.asarray(data)
-    # compile + warmup
     fwd(x).block_until_ready()
-    # sanity: bit-exact vs host reference on one row
     out = np.asarray(fwd(x))
     from she_tpu.utils import refimpl
 
@@ -64,17 +66,83 @@ def main():
         r = fwd(x)
     r.block_until_ready()
     dt = time.perf_counter() - t0
-    transforms_per_sec = batch * n_iters / dt
+    return batch * n_iters / dt
 
+
+def bench_pir(entry_count=1_000_000, entry_size=1, batch=8, n_iters=5):
+    """Headline: batched MulPIR queries/sec on entry_count x entry_size DB."""
+    import jax
+
+    from she_tpu import params as paramsmod
+    from she_tpu.bfv import bfv
+    from she_tpu.pir import index_pir as ip, serving
+    from she_tpu.rng.ctr_drbg import nist_aes128_ctr
+
+    det = lambda t: nist_aes128_ctr((t * 32)[:32])
+    ep = paramsmod.from_predefined("n_4096_logq_27_28_28_logt_5", scalar_bits=32)
+    ctx = bfv.get_bfv_context(ep)
+    sk = bfv.generate_secret_key(ctx, det(b"s"))
+    config = ip.IndexPirConfig(
+        entry_count=entry_count,
+        entry_size_in_bytes=entry_size,
+        dimension_count=2,
+        batch_size=1,
+        uneven_dimensions=True,
+        key_compression=ip.PirKeyCompression.NO_COMPRESSION,
+    )
+    parameter = ip.generate_parameter(config, ctx)
+    log(f"PIR parameter dims={parameter.dimensions}, "
+        f"expandedQueryCount={parameter.expanded_query_count}")
+    rng = np.random.default_rng(0)
+    values = rng.integers(0, 256, size=entry_count, dtype=np.uint8)
+    database = [bytes([v]) * entry_size for v in values]
+    t0 = time.perf_counter()
+    processed = ip.MulPirServer.process(database, ctx, parameter)
+    log(f"DB processed in {time.perf_counter() - t0:.1f}s: {processed.count} plaintexts")
+
+    client = ip.MulPirClient(parameter, ctx)
+    ek = client.generate_evaluation_key(sk, det(b"k"))
+    server = serving.BatchedMulPirServer(parameter, ctx, [processed])
+
+    indices = [int(rng.integers(0, entry_count)) for _ in range(batch)]
+    queries = [client.generate_query([i], sk) for i in indices]
+
+    t0 = time.perf_counter()
+    responses = server.compute_response_batch(queries, ek)
+    jax.block_until_ready(responses[0].ciphertexts[0][0].polys[0].data)
+    log(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
+
+    # correctness spot check
+    got = client.decrypt(responses[0], [indices[0]], sk)
+    assert got[0][:entry_size] == database[indices[0]], "PIR answer mismatch"
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        responses = server.compute_response_batch(queries, ek)
+    jax.block_until_ready(responses[-1].ciphertexts[0][0].polys[0].data)
+    dt = time.perf_counter() - t0
+    qps = batch * n_iters / dt
+    log(f"PIR steady state: {qps:.2f} queries/sec (batch={batch})")
+    return qps
+
+
+def main():
+    try:
+        ntt_rate = bench_ntt()
+        log(f"secondary: NTT N=8192 3x55-bit: {ntt_rate:.0f} transforms/sec "
+            f"({ntt_rate / SWIFT_CPU_BASELINE_NTT_PER_SEC:.1f}x CPU estimate)")
+    except Exception as e:  # pragma: no cover
+        log(f"NTT bench failed: {e}")
+
+    entry_count = int(os.environ.get("BENCH_PIR_ENTRIES", "1000000"))
+    qps = bench_pir(entry_count=entry_count)
     print(
         json.dumps(
             {
-                "metric": "ntt_forward_transforms_per_sec_n8192_3x55bit",
-                "value": round(transforms_per_sec, 2),
-                "unit": "transforms/sec",
-                "vs_baseline": round(
-                    transforms_per_sec / SWIFT_CPU_BASELINE_TRANSFORMS_PER_SEC, 3
-                ),
+                "metric": f"mulpir_queries_per_sec_{entry_count // 1000}k_db",
+                "value": round(qps, 2),
+                "unit": "queries/sec",
+                "vs_baseline": round(qps / SWIFT_CPU_BASELINE_QUERIES_PER_SEC, 3),
             }
         )
     )
