@@ -135,7 +135,8 @@ def main():
         log(f"NTT bench failed: {e}")
 
     entry_count = int(os.environ.get("BENCH_PIR_ENTRIES", "1000000"))
-    qps = bench_pir(entry_count=entry_count)
+    batch = int(os.environ.get("BENCH_PIR_BATCH", "32"))
+    qps = bench_pir(entry_count=entry_count, batch=batch)
     print(
         json.dumps(
             {
