@@ -201,17 +201,17 @@ def dim0_inner_products(db_chunk, query_eval, ct_ctx):
     cap = max(1, ct_ctx.max_lazy_product_accumulation_count() // 2)
     db = db_chunk[:, :, 0]  # [C, d0, L, N]
     q = query_eval[:, :, 0]  # [d0, 2, L, N]
-    # products for both ciphertext polys: [C, d0, 2, L, N]
-    lo, hi = limb.mul32(db[:, :, None], q[None])
+    # stream the lazy accumulation over d0 so XLA never materializes the
+    # full [C, d0, 2, L, N] product tensor (it would not fit HBM at scale)
     total = None
     for start in range(0, d0, cap):
-        acc_lo = lo[:, start, ...]
-        acc_hi = hi[:, start, ...]
+        acc_lo, acc_hi = limb.mul32(db[:, start, None], q[start])
         for j in range(start + 1, min(start + cap, d0)):
-            s = acc_lo + lo[:, j]
+            lo_j, hi_j = limb.mul32(db[:, j, None], q[j])
+            s = acc_lo + lo_j
             carry = (s < acc_lo).astype(jnp.uint32)
             acc_lo = s
-            acc_hi = acc_hi + hi[:, j] + carry
+            acc_hi = acc_hi + hi_j + carry
         red = _reduce_u64_rows(acc_lo, acc_hi, ct_ctx)  # [C, 2, L, N]
         total = red if total is None else _add_mod_rows(total, red, ct_ctx)
     return total[:, :, None]  # restore W axis
@@ -337,6 +337,19 @@ class BatchedMulPirServer:
         B = len(queries)
         n_ct = len(queries[0].ciphertexts)
         self._indices_count = queries[0].indices_count
+        stacked = [
+            jnp.stack(
+                [
+                    jnp.stack([p.data for p in q.ciphertexts[i].polys])
+                    for q in queries
+                ]
+            )
+            for i in range(n_ct)
+        ]
+        return self.compute_response_batch_from_stacked(stacked, evaluation_key, B, n_ct)
+
+    def compute_response_batch_from_stacked(self, stacked, evaluation_key, B, n_ct):
+        """stacked: [n_ct] list of [B, polys, W, L, N] (possibly sharded)."""
         key = (B, n_ct, self._indices_count)
         if key not in self._respond_jit:
 
@@ -362,15 +375,6 @@ class BatchedMulPirServer:
                 return jax.vmap(one)(stacked_ct_data)
 
             self._respond_jit[key] = jax.jit(run)
-        stacked = [
-            jnp.stack(
-                [
-                    jnp.stack([p.data for p in q.ciphertexts[i].polys])
-                    for q in queries
-                ]
-            )
-            for i in range(n_ct)
-        ]
         out = self._respond_jit[key](stacked, evaluation_key)
         responses = []
         single_ctx = self.ct_ctx.get_context(1)

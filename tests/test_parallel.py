@@ -1,0 +1,72 @@
+"""Multi-device sharded serving on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from she_tpu import params as paramsmod
+from she_tpu.bfv import bfv
+from she_tpu.parallel import mesh as meshmod
+from she_tpu.pir import index_pir as ip, serving
+from she_tpu.rng.ctr_drbg import nist_aes128_ctr
+
+
+def det_rng(tag=b"x"):
+    return nist_aes128_ctr((tag * 32)[:32])
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ep = paramsmod.from_predefined("insecure_n_8_logq_5x18_logt_5", 32)
+    ctx = bfv.get_bfv_context(ep)
+    sk = bfv.generate_secret_key(ctx, det_rng(b"s"))
+    config = ip.IndexPirConfig(
+        entry_count=16, entry_size_in_bytes=1, dimension_count=2, batch_size=1,
+        uneven_dimensions=False, key_compression=ip.PirKeyCompression.NO_COMPRESSION,
+    )
+    parameter = ip.generate_parameter(config, ctx)
+    rng = np.random.default_rng(3)
+    database = [bytes([int(v)]) for v in rng.integers(0, 256, size=16)]
+    processed = ip.MulPirServer.process(database, ctx, parameter)
+    client = ip.MulPirClient(parameter, ctx)
+    ek = client.generate_evaluation_key(sk, det_rng(b"k"))
+    return ctx, sk, parameter, database, processed, client, ek
+
+
+def test_batch_parallel_response(setup):
+    ctx, sk, parameter, database, processed, client, ek = setup
+    assert len(jax.devices()) >= 8
+    server = serving.BatchedMulPirServer(parameter, ctx, [processed])
+    m = meshmod.make_mesh(8, "batch")
+    indices = [int(i) % 16 for i in range(8)]
+    queries = [client.generate_query([i], sk) for i in indices]
+    responses = meshmod.batch_parallel_response(server, queries, ek, m)
+    for r, i in zip(responses, indices):
+        got = client.decrypt(r, [i], sk)
+        assert got[0][:1] == database[i]
+
+
+def test_dim0_partial_psum_matches_single_device(setup):
+    ctx, sk, parameter, database, processed, client, ek = setup
+    ct_ctx = ctx.ciphertext_context
+    d0 = parameter.dimensions[0]
+    n_chunks = ip.chunk_count(parameter, ctx)
+    per_chunk = processed.count // n_chunks
+    chunk = jnp.asarray(
+        serving.pack_database_chunk(processed.plaintexts[:per_chunk], d0, ct_ctx)
+    )
+    query = client.generate_query([3], sk)
+    expanded = ip.expand(query.ciphertexts, parameter.expanded_query_count, ek)
+    dim0 = [bfv.ct_to_eval(c) for c in expanded[:d0]]
+    query_eval = jnp.stack(
+        [jnp.stack([c.polys[0].data, c.polys[1].data]) for c in dim0]
+    )
+    single = serving.dim0_inner_products(chunk, query_eval, ct_ctx)
+    # partition d0 over as many devices as divide it
+    S = 4 if d0 % 4 == 0 else (2 if d0 % 2 == 0 else 1)
+    if S == 1:
+        pytest.skip(f"d0={d0} not divisible by mesh")
+    m = meshmod.make_mesh(S, "db")
+    sharded = meshmod.dim0_partial_psum(chunk, query_eval, ct_ctx, m)
+    assert (np.asarray(sharded) == np.asarray(single)).all()
