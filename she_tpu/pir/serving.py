@@ -243,6 +243,31 @@ def _add_mod_rows(a, b, ctx):
 # ---------------------------------------------------------------------------
 
 
+class BatchedKeywordPirServer:
+    """Keyword PIR over the batched index-PIR server (one sub-table per
+    cuckoo hash function, as in KeywordPirServer)."""
+
+    def __init__(self, context, processed):
+        from . import keyword_pir as kp
+
+        self.context = context
+        kw = processed.keyword_pir_parameter
+        if kw is not None:
+            sub = processed.database.count // kw.hash_function_count
+            tables = [
+                ip.ProcessedDatabase(processed.database.plaintexts[s : s + sub])
+                for s in range(0, processed.database.count, sub)
+            ]
+        else:
+            tables = [processed.database]
+        self.index_server = BatchedMulPirServer(
+            processed.pir_parameter, context, tables
+        )
+
+    def compute_response_batch(self, queries: list, evaluation_key) -> list:
+        return self.index_server.compute_response_batch(queries, evaluation_key)
+
+
 class BatchedMulPirServer:
     """Serves query batches with one jitted TPU program.
 

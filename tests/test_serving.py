@@ -79,3 +79,29 @@ def test_batched_server_repeat_uses_cached_jit(setup):
         for ra, rb in zip(a.ciphertexts[0], b.ciphertexts[0]):
             for pa, pb in zip(ra.polys, rb.polys):
                 assert (np.asarray(pa.data) == np.asarray(pb.data)).all()
+
+
+def test_batched_keyword_server(setup):
+    import random
+
+    from she_tpu.pir import keyword_pir as kp
+
+    ctx, sk, parameter, database, processed, client, ek = setup
+    rows = [(f"kw{i}".encode(), bytes([i, i + 1])) for i in range(12)]
+    bucket_size = kp.default_max_serialized_bucket_size(2, ctx.params.bytes_per_plaintext)
+    config = kp.KeywordPirConfig(
+        dimension_count=2,
+        cuckoo_table_config=kp.CuckooTableConfig.default_keyword_pir(bucket_size),
+    )
+    kw_processed = kp.KeywordPirServer.process(rows, config, ctx, rng=random.Random(7))
+    kw_client = kp.KeywordPirClient(
+        kw_processed.keyword_pir_parameter, kw_processed.pir_parameter, ctx
+    )
+    kw_ek = kw_client.generate_evaluation_key(sk, det_rng(b"k2"))
+    server = serving.BatchedKeywordPirServer(ctx, kw_processed)
+    keywords = [rows[0][0], rows[5][0], b"missing"]
+    queries = [kw_client.generate_query(kw, sk) for kw in keywords]
+    responses = server.compute_response_batch(queries, kw_ek)
+    assert kw_client.decrypt(responses[0], keywords[0], sk) == rows[0][1]
+    assert kw_client.decrypt(responses[1], keywords[1], sk) == rows[5][1]
+    assert kw_client.decrypt(responses[2], keywords[2], sk) is None
