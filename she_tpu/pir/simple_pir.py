@@ -333,6 +333,125 @@ class PreparedResponse:
         return [int(v) >> (b - p) for v in out.reshape(-1)]
 
 
+# ---------------------------------------------------------------------------
+# Multi-shard layout (DatabaseMap.swift:23-110, SimplePir+Shards.swift:18-188)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ChunkLocation:
+    shard_index: int
+    index: int
+
+
+@dataclass(frozen=True)
+class DatabaseMapEntry:
+    original_index: int
+    size: int
+    chunks: tuple
+
+
+@dataclass(frozen=True)
+class DatabaseMap:
+    """Tracks where each entry's chunks landed across shards."""
+
+    entries: tuple
+    chunk_size: int
+
+    @staticmethod
+    def shard_database(entries, shard_count: int, chunk_size: int, rng=None):
+        """entries: iterable of (original_index, value bytes). Chunks are
+        spread over a per-entry random shard permutation; returns
+        (DatabaseMap, [shard byte-matrices as list[bytes]])."""
+        import random as rnd
+
+        rng = rng or rnd.Random()
+        out_entries = []
+        shards: list[list[bytes]] = [[] for _ in range(shard_count)]
+        for original_index, value in entries:
+            chunks = []
+            order = list(range(shard_count))
+            rng.shuffle(order)
+            v = bytes(value)
+            n_chunks = max(1, -(-len(v) // chunk_size)) if v else 1
+            for ci in range(n_chunks):
+                chunk = v[ci * chunk_size : (ci + 1) * chunk_size]
+                chunk = chunk + b"\x00" * (chunk_size - len(chunk))
+                shard_index = order[ci % shard_count]
+                chunks.append(ChunkLocation(shard_index, len(shards[shard_index])))
+                shards[shard_index].append(chunk)
+            out_entries.append(
+                DatabaseMapEntry(original_index, len(v), tuple(chunks))
+            )
+        return DatabaseMap(tuple(out_entries), chunk_size), shards
+
+
+class ShardMap:
+    """original index -> entry lookup + per-shard query budget."""
+
+    def __init__(self, database_map: DatabaseMap):
+        self.mapping = {e.original_index: e for e in database_map.entries}
+        shard_ids = {c.shard_index for e in self.mapping.values() for c in e.chunks}
+        self.shard_count = len(shard_ids)
+        self.maximum_chunk_count = max(
+            (len(e.chunks) for e in self.mapping.values()), default=0
+        )
+        self.chunk_size = database_map.chunk_size
+        self.chunks_per_shard = -(-self.maximum_chunk_count // max(self.shard_count, 1))
+
+    def __getitem__(self, original_index: int):
+        return self.mapping.get(original_index)
+
+
+class SimplePirClientForAllShards:
+    """Queries every shard (with dummy index-0 queries for padding) so the
+    access pattern does not leak which shards hold the entry."""
+
+    def __init__(self, database_map: DatabaseMap, clients: list):
+        self.shard_map = ShardMap(database_map)
+        self.clients = clients
+        if self.shard_map.shard_count > len(clients):
+            raise errors.PirError("mismatching shard count and clients")
+
+    @property
+    def queries_per_shard(self) -> int:
+        return self.shard_map.chunks_per_shard
+
+    def query(self, original_index: int, rng=None):
+        query_indices = [[] for _ in self.clients]
+        entry = self.shard_map[original_index]
+        if entry is not None:
+            for chunk in entry.chunks:
+                query_indices[chunk.shard_index].append(chunk.index)
+        for per_shard in query_indices:
+            while len(per_shard) < self.shard_map.chunks_per_shard:
+                per_shard.append(0)
+        return [
+            [client.query(i, rng=rng) for i in indices]
+            for client, indices in zip(self.clients, query_indices)
+        ]
+
+    def decrypt(self, responses, original_index: int, queries) -> bytes | None:
+        entry = self.shard_map[original_index]
+        if entry is None:
+            return None
+        data = b""
+        for ci, chunk in enumerate(entry.chunks):
+            shard = chunk.shard_index
+            slot = [
+                i
+                for i, q in enumerate(queries[shard])
+                if q.index == chunk.index
+            ][0]
+            q = queries[shard][slot]
+            prepared = q.prepare_response()
+            piece = self.clients[shard].decrypt(
+                responses[shard][slot], prepared, chunk.index
+            )
+            data += piece[: self.shard_map.chunk_size]
+        return data[: entry.size]
+
+
 class SimplePirClient:
     def __init__(self, params: SimplePirParameters, hint: np.ndarray):
         self.context = SimplePirContext(params)

@@ -95,3 +95,44 @@ def test_simple_pir_precomputed_queries_reusable():
     prepared = q.prepare_response()
     responses = server.compute_response(q.queries)
     assert client.decrypt(responses, prepared, 7) == entries[7]
+
+
+def test_database_map_sharding_roundtrip():
+    import random
+
+    entries = [(i, bytes([i] * (3 + i % 5))) for i in range(12)]
+    dmap, shards = sp.DatabaseMap.shard_database(
+        entries, shard_count=3, chunk_size=4, rng=random.Random(9)
+    )
+    # every chunk is addressable and reconstructs the value
+    for entry in dmap.entries:
+        original = dict(entries)[entry.original_index]
+        data = b""
+        for chunk in entry.chunks:
+            data += shards[chunk.shard_index][chunk.index]
+        assert data[: entry.size] == original
+
+
+def test_simple_pir_all_shards_client():
+    import random
+
+    ep = make_params()
+    entries = [(i, bytes([i, i + 1, i + 2, i + 3, i + 4])) for i in range(10)]
+    dmap, shard_chunks = sp.DatabaseMap.shard_database(
+        entries, shard_count=2, chunk_size=3, rng=random.Random(4)
+    )
+    servers, clients = [], []
+    for chunks in shard_chunks:
+        results = sp.process_database(chunks, ep, seed=bytes(32))
+        servers.append(sp.SimplePirServer(results.database, results.hint, results.params))
+        clients.append(sp.SimplePirClient(results.params, results.hint))
+    all_client = sp.SimplePirClientForAllShards(dmap, clients)
+    for index in [0, 5, 9]:
+        queries = all_client.query(index, rng=det_rng(bytes([index])))
+        responses = [
+            [servers[s].compute_response(q.queries) for q in per_shard]
+            for s, per_shard in enumerate(queries)
+        ]
+        got = all_client.decrypt(responses, index, queries)
+        assert got == dict(entries)[index], index
+    assert all_client.decrypt(responses, 99, queries) is None

@@ -236,3 +236,18 @@ def test_cli_simple_pir_pipeline(tmp_path):
     out = run_cli("simple_pir_process_database", config_path)
     assert "Wrote" in out
     assert os.path.exists(config["outputParameters"])
+
+
+def test_zeroize_native():
+    import numpy as np
+
+    from she_tpu.utils.zeroize import zeroize
+    from she_tpu.native import get_lib
+
+    arr = np.arange(64, dtype=np.uint32)
+    zeroize(arr)
+    assert (arr == 0).all()
+    buf = bytearray(b"secret key material")
+    zeroize(buf)
+    assert buf == bytearray(len(buf))
+    assert get_lib() is not None  # toolchain is available in this image
