@@ -170,6 +170,31 @@ class Ciphertext:
     def poly_context(self) -> PolyContext:
         return self.polys[0].context
 
+    # operator ergonomics (reference Ciphertext.swift:115-500)
+    def __add__(self, other):
+        if isinstance(other, Plaintext):
+            return ct_add_pt(self, other)
+        return ct_add(self, other)
+
+    def __sub__(self, other):
+        if isinstance(other, Plaintext):
+            return ct_sub_pt(self, other)
+        return ct_sub(self, other)
+
+    def __neg__(self):
+        return ct_neg(self)
+
+    def __mul__(self, other):
+        if isinstance(other, Plaintext):
+            return ct_mul_pt(self, other)
+        return ct_mul(self, other)
+
+    def decrypt(self, secret_key):
+        return decrypt(self, secret_key)
+
+    def noise_budget(self, secret_key):
+        return noise_budget(self, secret_key)
+
 
 import jax as _jax
 

@@ -156,3 +156,32 @@ def test_transparent_zero():
         [PolyRq.zero(ctx.ciphertext_context), PolyRq.zero(ctx.ciphertext_context)],
     )
     assert bfv.is_transparent(zero)
+
+
+def test_ciphertext_operators():
+    ctx = make_ctx("insecure_n_8_logq_5x18_logt_5", 32)
+    t = ctx.plaintext_modulus
+    sk = bfv.generate_secret_key(ctx, det_rng(b"s"))
+    v1, v2 = rand_values(ctx), rand_values(ctx)
+    ct1 = bfv.encrypt(bfv.encode(ctx, v1), sk, err_rng=det_rng(b"1"))
+    ct2 = bfv.encrypt(bfv.encode(ctx, v2), sk, err_rng=det_rng(b"2"))
+    pt2 = bfv.encode(ctx, v2)
+    assert bfv.decode(ctx, (ct1 + ct2).decrypt(sk)) == [(a + b) % t for a, b in zip(v1, v2)]
+    assert bfv.decode(ctx, (ct1 - pt2).decrypt(sk)) == [(a - b) % t for a, b in zip(v1, v2)]
+    assert bfv.decode(ctx, (-ct1).decrypt(sk)) == [(-a) % t for a in v1]
+    assert (ct1 * ct2).noise_budget(sk) > 0
+
+
+def test_extras_remove_last_moduli():
+    from she_tpu.bfv import extras
+    from she_tpu.core.poly import PolyRq
+    import numpy as np
+
+    ctx = make_ctx("insecure_n_8_logq_5x18_logt_5", 32)
+    sk_ctx = ctx.secret_key_context
+    vals = np.zeros((5, 8), dtype=object)
+    vals[:, 0] = [1, 2, 3, 4, 5]
+    p = PolyRq.from_values(vals, sk_ctx, "coeff")
+    out = extras.remove_last_moduli(p, 2)
+    assert len(out.context.moduli) == 3
+    assert (out.to_values() == vals[:3]).all()
