@@ -175,6 +175,12 @@ def generate_evaluation_key(
 
 
 def compute_key_switching_update(context, target: PolyRq, ksk: KeySwitchKey):
+    if target.context.nlimbs == 1:
+        return _compute_key_switching_update_jit(context, target, ksk)
+    return _compute_key_switching_update(context, target, ksk)
+
+
+def _compute_key_switching_update(context, target: PolyRq, ksk: KeySwitchKey):
     """Key-switching update for a Coeff target polynomial: returns
     [u0, u1] Coeff polys over the target's context
     (reference Bfv+Keys.swift:123-208)."""
@@ -262,3 +268,8 @@ def compute_key_switching_update(context, target: PolyRq, ksk: KeySwitchKey):
         p = polymod.divide_and_round_q_last(p)
         updates.append(p)
     return updates
+
+
+_compute_key_switching_update_jit = jax.jit(
+    _compute_key_switching_update, static_argnums=0
+)

@@ -34,6 +34,25 @@ from . import poly as polymod
 from .poly import PolyRq, COEFF
 
 
+
+
+def _jit_when_w32(static_argnums=(0,)):
+    """jit a method only for the 1-limb fast path: w64 graphs are large
+    enough that XLA compile time is prohibitive for the eager/test path."""
+
+    def deco(method):
+        jitted = jax.jit(method, static_argnums=static_argnums)
+
+        @functools.wraps(method)
+        def wrapper(self, *args, **kwargs):
+            if self.input_context.nlimbs == 1:
+                return jitted(self, *args, **kwargs)
+            return method(self, *args, **kwargs)
+
+        return wrapper
+
+    return deco
+
 class RnsBaseConverter:
     """Approximate base conversion q -> t (eprint 2016/510 Eq. 2).
 
@@ -208,6 +227,7 @@ class RnsTool:
 
     # -- decryption scaling -------------------------------------------------
 
+    @_jit_when_w32(static_argnums=(0, 2))
     def scale_and_round(self, x, scaling_factor: int):
         """BEHZ Alg 2 decryption scaling (RnsTool.swift:272-302).
 
@@ -352,6 +372,7 @@ class RnsTool:
             )
         return polymod._stack_rows(rows)
 
+    @_jit_when_w32()
     def lift_q_to_qbsk(self, x):
         """Alg 2: word [L, N] over q -> word [L + L_bsk, N] over [q, B_sk]
         (RnsTool.swift:324-331)."""
@@ -433,6 +454,7 @@ class RnsTool:
             rows.append(W.add_mod(polymod._row(out, i), adj, qw))
         return polymod._stack_rows(rows)
 
+    @_jit_when_w32()
     def floor_qbsk_to_q(self, y):
         """word [L + L_bsk, N] over [q, B_sk] -> floor(x/q) over q
         (RnsTool.swift:453-456)."""
