@@ -125,7 +125,9 @@ def bench_bfv(batch: int, iters: int):
             t = timeit(fn, cts1, iters=iters) / batch
         results.append((f"BFV N=4096 w32 {name}", t))
 
-    # host-path ops (per op, unbatched)
+    # host-path ops (per op, unbatched; warm up compiles first)
+    bfv.encrypt(pt, sk, err_rng=det(b"w"))
+    bfv.decrypt(ct1, sk)
     t0 = time.perf_counter()
     for _ in range(5):
         bfv.encrypt(pt, sk, err_rng=det(b"x"))
