@@ -44,11 +44,11 @@ def sample_ternary(rng, moduli: list[int], degree: int) -> np.ndarray:
     (PolyRq+Randomize.swift:88-117).
     """
     # Consume bytes in the same order: 8 bytes then 4 bytes per coefficient.
-    vals = np.zeros(degree, dtype=np.int64)
-    for i in range(degree):
-        u64 = rng.next_u64()
-        u32 = rng.next_u32()
-        vals[i] = ((u64 << 32) | u32) % 3
+    data = rng.random_bytes(degree * 12)
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(degree, 12)
+    u64 = raw[:, :8].copy().view("<u8")[:, 0].astype(object)
+    u32 = raw[:, 8:].copy().view("<u4")[:, 0].astype(object)
+    vals = np.array([int(v) for v in ((u64 << 32) | u32) % 3], dtype=np.int64)
     out = np.zeros((len(moduli), degree), dtype=object)
     for rns_index, q in enumerate(moduli):
         row = vals - 1  # in {-1, 0, 1}
@@ -72,14 +72,14 @@ def sample_centered_binomial(rng, moduli: list[int], degree: int, std_dev: float
     n_u64 = 2 * ((k + 63) // 64)
     half = n_u64 // 2
     mask = (1 << (k % 64)) - 1 if k % 64 != 0 else (1 << 64) - 1
-    vals = np.zeros(degree, dtype=np.int64)
-    for i in range(degree):
-        trial = [rng.next_u64() for _ in range(n_u64)]
-        trial[half - 1] &= mask
-        trial[n_u64 - 1] &= mask
-        pos = sum(t.bit_count() for t in trial[:half])
-        neg = sum(t.bit_count() for t in trial[half:])
-        vals[i] = pos - neg
+    # bulk-draw the byte stream (identical order: n_u64 sequential u64 LE
+    # draws per coefficient) and popcount vectorized
+    data = rng.random_bytes(degree * n_u64 * 8)
+    trials = np.frombuffer(data, dtype="<u8").reshape(degree, n_u64).copy()
+    trials[:, half - 1] &= np.uint64(mask)
+    trials[:, n_u64 - 1] &= np.uint64(mask)
+    counts = np.bitwise_count(trials).astype(np.int64)
+    vals = counts[:, :half].sum(axis=1) - counts[:, half:].sum(axis=1)
     out = np.zeros((len(moduli), degree), dtype=object)
     for rns_index, q in enumerate(moduli):
         out[rns_index] = np.where(vals < 0, vals + q, vals).astype(object)
