@@ -126,6 +126,60 @@ def bench_pir(entry_count=1_000_000, entry_size=1, batch=8, n_iters=5):
     return qps
 
 
+def bench_pnns(db_rows=4096, dim=128, batch=16, n_iters=5):
+    """Secondary: PNNS cosine-similarity queries/sec (reference benchmark
+    default: 4096 rows x 128 dims, N=4096, 17-bit t, 27/28/28-bit q —
+    PnnsBenchmarkUtilities.swift:51, BenchmarkMetricExtensions.swift:53)."""
+    import jax
+
+    from she_tpu import params as paramsmod
+    from she_tpu.bfv import bfv
+    from she_tpu.pnns import pnns, serving as pnns_serving
+    from she_tpu.rng.ctr_drbg import nist_aes128_ctr
+
+    det = lambda t: nist_aes128_ctr((t * 32)[:32])
+    ep = paramsmod.from_predefined("n_4096_logq_27_28_28_logt_17", scalar_bits=32)
+    ctx = bfv.get_bfv_context(ep)
+    sf = pnns.max_scaling_factor(dim, [ctx.plaintext_modulus])
+    pt_dims = pnns.MatrixDimensions(db_rows, dim)
+    ek_config = pnns.matmul_evaluation_key_config(ctx, pt_dims, 1)
+    client_config = pnns.ClientConfig.create(
+        ep, sf, pnns.MatrixPacking.dense_row(), dim, ek_config
+    )
+    server_config = pnns.ServerConfig(
+        client_config, pnns.MatrixPacking.diagonal(pnns.BabyStepGiantStep.create(dim))
+    )
+    rng = np.random.default_rng(0)
+    vectors = rng.standard_normal((db_rows, dim)).astype(np.float32)
+    db = pnns.Database([pnns.DatabaseRow(i, b"", vectors[i]) for i in range(db_rows)])
+    t0 = time.perf_counter()
+    processed = pnns.process_database(db, server_config)
+    log(f"PNNS DB processed in {time.perf_counter() - t0:.1f}s")
+    client = pnns.Client(client_config)
+    sk = client.generate_secret_key(det(b"s"))
+    ek = client.generate_evaluation_key(sk, det(b"k"))
+    server = pnns_serving.BatchedPnnsServer(processed)
+    queries = [
+        client.generate_query(
+            rng.standard_normal((1, dim)).astype(np.float32), sk, err_rng=det(bytes([i]))
+        )
+        for i in range(batch)
+    ]
+    t0 = time.perf_counter()
+    responses = server.compute_response_batch(queries, ek)
+    jax.block_until_ready(responses[0].ciphertext_matrices[0].ciphertexts[0].polys[0].data)
+    log(f"PNNS compile+first batch: {time.perf_counter() - t0:.1f}s")
+    # correctness spot check: cosine similarity of query 0 vs its own row
+    distances, _, _ = client.decrypt(responses[0], sk)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        responses = server.compute_response_batch(queries, ek)
+    jax.block_until_ready(responses[-1].ciphertext_matrices[0].ciphertexts[0].polys[0].data)
+    qps = batch * n_iters / (time.perf_counter() - t0)
+    log(f"PNNS steady state: {qps:.2f} queries/sec (batch={batch}, {db_rows}x{dim})")
+    return qps
+
+
 def main():
     try:
         ntt_rate = bench_ntt()
@@ -133,6 +187,12 @@ def main():
             f"({ntt_rate / SWIFT_CPU_BASELINE_NTT_PER_SEC:.1f}x CPU estimate)")
     except Exception as e:  # pragma: no cover
         log(f"NTT bench failed: {e}")
+
+    if os.environ.get("BENCH_PNNS", "1") == "1":
+        try:
+            bench_pnns()
+        except Exception as e:  # pragma: no cover
+            log(f"PNNS bench failed: {e}")
 
     entry_count = int(os.environ.get("BENCH_PIR_ENTRIES", "1000000"))
     batch = int(os.environ.get("BENCH_PIR_BATCH", "32"))

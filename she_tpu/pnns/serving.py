@@ -1,0 +1,206 @@
+"""TPU-batched PNNS serving: stacked BSGS matrix-vector products.
+
+The reference evaluates the Halevi-Shoup baby-step/giant-step product with
+per-plaintext multiplies inside task groups (MatrixMultiplication.swift:
+131-299). Here the whole giant-step accumulation is one stacked tensor MAC:
+the diagonal plaintext matrix packs into a dense [G, J, R, L, N] limb tensor
+(G giant steps, J baby steps, R result ciphertexts) and, for a batch of
+queries, every (g, r) inner product over j computes in one vectorized
+multiply + lazy double-width reduction — the same kernel shape as the PIR
+dim-0 MAC. Rotations (baby-step prep and giant-step accumulation) are
+batched over the query axis.
+
+w32 fast path; one jitted program per (config, batch size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import errors
+from ..bfv import bfv
+from ..core import poly as polymod
+from ..core.poly import COEFF, EVAL, PolyRq
+from ..pir import serving as pir_serving
+from . import pnns
+
+
+def pack_diagonal_matrix(matrix: "pnns.PlaintextMatrix", ct_ctx) -> np.ndarray:
+    """Diagonal-packed PlaintextMatrix (Eval) -> dense [G, J, R, L, N] u32
+    tensor (w32). Missing baby steps in the last giant step are zeros."""
+    assert ct_ctx.nlimbs == 1
+    bsgs = matrix.packing.bsgs
+    G, J = bsgs.giant_step, bsgs.baby_step
+    n = ct_ctx.degree
+    R = -(-matrix.row_count // n)
+    L = len(ct_ctx.moduli)
+    out = np.zeros((G, J, R, L, n), dtype=np.uint32)
+    for g in range(G):
+        pt_count = min(J, bsgs.vector_dimension - J * g)
+        for j in range(pt_count):
+            for r in range(R):
+                idx = R * (j + J * g) + r
+                pt = matrix.plaintexts[idx]
+                out[g, j, r] = np.asarray(pt.poly.data)[0]
+    return out
+
+
+def bsgs_inner_products(db, rotated_eval, ct_ctx):
+    """db [G, J, R, L, N]; rotated_eval [J, 2, L, N] (eval query rotations)
+    -> [G, R, 2, L, N] reduced ct-pt inner products over the J axis."""
+    G, J, R = db.shape[0], db.shape[1], db.shape[2]
+    cap = max(1, ct_ctx.max_lazy_product_accumulation_count() // 2)
+    total = None
+    for start in range(0, J, cap):
+        acc_lo, acc_hi = _pt_mul(db[:, start], rotated_eval[start])
+        for j in range(start + 1, min(start + cap, J)):
+            lo_j, hi_j = _pt_mul(db[:, j], rotated_eval[j])
+            s = acc_lo + lo_j
+            carry = (s < acc_lo).astype(jnp.uint32)
+            acc_lo = s
+            acc_hi = acc_hi + hi_j + carry
+        red = pir_serving._reduce_u64_rows(acc_lo, acc_hi, ct_ctx)
+        total = red if total is None else pir_serving._add_mod_rows(total, red, ct_ctx)
+    return total
+
+
+def _pt_mul(db_gj, q_j):
+    """db_gj [G, R, L, N] x q_j [2, L, N] -> 64-bit products
+    [G, R, 2, L, N]."""
+    from ..ops import limb
+
+    return limb.mul32(db_gj[:, :, None], q_j[None, None])
+
+
+class BatchedPnnsServer:
+    """Serves query batches; one jitted program per batch size."""
+
+    def __init__(self, database: "pnns.ProcessedDatabase"):
+        self.database = database
+        self.config = database.server_config
+        self.contexts = database.contexts
+        for ctx in self.contexts:
+            if ctx.ciphertext_context.nlimbs != 1:
+                raise errors.PnnsError("BatchedPnnsServer requires w32 parameters")
+        self.packed = [
+            jnp.asarray(pack_diagonal_matrix(m, ctx.ciphertext_context))
+            for m, ctx in zip(database.plaintext_matrices, self.contexts)
+        ]
+        self._jit = {}
+
+    def _respond_one_matrix(self, mi: int, query_ct, evaluation_key):
+        """query_ct: 1-row denseRow ciphertext (canonical); returns list of
+        R canonical result ciphertexts for matrix mi."""
+        ctx = self.contexts[mi]
+        matrix = self.database.plaintext_matrices[mi]
+        bsgs = matrix.packing.bsgs
+        J = bsgs.baby_step
+        state = query_ct
+        rotated = []
+        for step in range(J):
+            rotated.append(bfv.ct_to_eval(state))
+            if step != J - 1:
+                state = bfv.rotate_columns(state, -1, evaluation_key)
+        rotated_eval = jnp.stack(
+            [jnp.stack([c.polys[0].data[0], c.polys[1].data[0]]) for c in rotated]
+        )  # [J, 2, L, N]
+        prods = bsgs_inner_products(self.packed[mi], rotated_eval, ctx.ciphertext_context)
+        # prods [G, R, 2, L, N] -> per (g, r) canonical cts, then
+        # rotate-and-sum over g with step -babyStep
+        G, R = prods.shape[0], prods.shape[1]
+        results = []
+        for r in range(R):
+            per_giant = [
+                bfv.Ciphertext(
+                    ctx,
+                    [
+                        polymod.inverse_ntt(
+                            PolyRq(prods[g, r, p][None], ctx.ciphertext_context, EVAL)
+                        )
+                        for p in range(2)
+                    ],
+                )
+                for g in range(G)
+            ]
+            results.append(
+                pnns.rotate_columns_and_sum(per_giant, -J, evaluation_key)
+            )
+        return results
+
+    def compute_response_batch(self, queries: list, evaluation_key) -> list:
+        """queries: list of pnns.Query (single-row query matrices)."""
+        B = len(queries)
+        n_matrices = len(self.packed)
+        key = (B, n_matrices)
+        if key not in self._jit:
+
+            def run(stacked, ek):
+                # stacked: [n_matrices] list of [B, 2, W, L, N]
+                def one(per_query):
+                    out = []
+                    for mi in range(n_matrices):
+                        ctx = self.contexts[mi]
+                        ct = bfv.Ciphertext(
+                            ctx,
+                            [
+                                PolyRq(per_query[mi][p], ctx.ciphertext_context, COEFF)
+                                for p in range(2)
+                            ],
+                        )
+                        results = self._respond_one_matrix(mi, ct, ek)
+                        singles = [
+                            bfv.ct_to_coeff(bfv.mod_switch_down_to_single(c))
+                            for c in results
+                        ]
+                        out.append(
+                            [jnp.stack([p.data for p in c.polys]) for c in singles]
+                        )
+                    return out
+
+                return jax.vmap(one)(stacked)
+
+            self._jit[key] = jax.jit(run)
+        stacked = [
+            jnp.stack(
+                [
+                    jnp.stack(
+                        [p.data for p in q.ciphertext_matrices[mi].ciphertexts[0].polys]
+                    )
+                    for q in queries
+                ]
+            )
+            for mi in range(n_matrices)
+        ]
+        out = self._jit[key](stacked, evaluation_key)
+        responses = []
+        for b in range(B):
+            matrices = []
+            for mi in range(n_matrices):
+                ctx = self.contexts[mi]
+                single_ctx = ctx.ciphertext_context.get_context(1)
+                cts = [
+                    bfv.Ciphertext(
+                        ctx,
+                        [
+                            PolyRq(arrs[b][p], single_ctx, COEFF)
+                            for p in range(arrs[b].shape[0])
+                        ],
+                    )
+                    for arrs in out[mi]
+                ]
+                dims = pnns.MatrixDimensions(
+                    self.database.plaintext_matrices[mi].row_count, 1
+                )
+                matrices.append(
+                    pnns.CiphertextMatrix(
+                        dims, pnns.MatrixPacking.dense_column(), cts, ctx
+                    )
+                )
+            responses.append(
+                pnns.Response(
+                    matrices, self.database.entry_ids, self.database.entry_metadatas
+                )
+            )
+        return responses
