@@ -117,7 +117,7 @@ def _lazy_sub_2q(W, x, q2):
     """[0, 4q) -> [0, 2q) via one conditional subtract of 2q."""
     if W is W32:
         (x,), (q2,) = x, q2
-        return (jnp.minimum(x, x - q2),)
+        return (wordmod.umin(x, x - q2),)
     from .limb import sub64
 
     return wordmod._min64(x, sub64(x, q2))
@@ -141,6 +141,10 @@ def _wrap_sub(W, x, y):
 
 def forward_ntt(x, tables: NttTables):
     """x: word of [..., L, N] arrays in [0, q) -> eval form in [0, q)."""
+    from . import ntt_pallas
+
+    if ntt_pallas.use_pallas(tables):
+        return ntt_pallas.forward_ntt(x, tables)
     W = tables.word
     n = tables.degree
     log2n = nt.log2_exact(n)
@@ -174,6 +178,10 @@ def forward_ntt(x, tables: NttTables):
 
 def inverse_ntt(x, tables: NttTables):
     """x: word of [..., L, N] arrays in [0, q) -> coeff form in [0, q)."""
+    from . import ntt_pallas
+
+    if ntt_pallas.use_pallas(tables):
+        return ntt_pallas.inverse_ntt(x, tables)
     W = tables.word
     n = tables.degree
     log2n = nt.log2_exact(n)

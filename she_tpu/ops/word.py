@@ -71,6 +71,12 @@ def from_word(w: Word):
     return jnp.stack(w)
 
 
+def umin(a, b):
+    """Unsigned element-wise min as compare+select (Mosaic cannot legalize
+    vector `arith.minui`, so jnp.minimum is off-limits in Pallas kernels)."""
+    return jnp.where(a < b, a, b)
+
+
 def _min64(x, y):
     return select64(lt64(x, y), x, y)
 
@@ -88,13 +94,13 @@ class W32:
     def add_mod(x, y, q):
         (x,), (y,), (q,) = x, y, q
         s = x + y
-        return (jnp.minimum(s, s - q),)
+        return (umin(s, s - q),)
 
     @staticmethod
     def sub_mod(x, y, q):
         (x,), (y,), (q,) = x, y, q
         d = x - y
-        return (jnp.minimum(d, d + q),)
+        return (umin(d, d + q),)
 
     @staticmethod
     def neg_mod(x, q):
@@ -104,13 +110,13 @@ class W32:
     @staticmethod
     def reduce_2q(x, q):
         (x,), (q,) = x, q
-        return (jnp.minimum(x, x - q),)
+        return (umin(x, x - q),)
 
     @staticmethod
     def reduce_4q(x, q):
         (x,), (q,) = x, q
-        x = jnp.minimum(x, x - (q << 1))
-        return (jnp.minimum(x, x - q),)
+        x = umin(x, x - (q << 1))
+        return (umin(x, x - q),)
 
     # lazy-range helpers used by the NTT (raw arrays, not words)
     @staticmethod
@@ -141,8 +147,8 @@ class W32:
         ulo, uhi = mul32(t, mu)
         uu = u32((ulo >> (k + 1)) | (uhi << (32 - (k + 1))))
         r = plo - uu * q
-        r = jnp.minimum(r, r - q)
-        r = jnp.minimum(r, r - q)
+        r = umin(r, r - q)
+        r = umin(r, r - q)
         return (r,)
 
     @staticmethod
@@ -169,8 +175,8 @@ class W32:
         (x,), (q,), (mu32,) = x, q, mu32
         hi = limb.mulhi32(x, mu32)
         r = x - hi * q
-        r = jnp.minimum(r, r - q)
-        r = jnp.minimum(r, r - q)
+        r = umin(r, r - q)
+        r = umin(r, r - q)
         return (r,)
 
     @classmethod
@@ -274,8 +280,8 @@ class W64:
         ql = q[0]
         if k == 31:
             # q in [2^30, 2^31): v < 2^32 < 4q
-            r = jnp.minimum(v, v - (ql << 1))
-            r = jnp.minimum(r, r - ql)
+            r = umin(v, v - (ql << 1))
+            r = umin(r, r - ql)
             return (r, z)
         r = W32.reduce_u32((v,), (ql,), (consts["mu32"],))
         return (r[0], z)
