@@ -1,4 +1,6 @@
-import time, os, sys, numpy as np
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
 import jax, jax.numpy as jnp
 from she_tpu.ops import ntt as nttmod, word as wordmod
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from .. import errors
 from ..core import poly as polymod
 from ..core.context import get_poly_context
+from ..ops import ntt as nttmod
 from ..core.poly import COEFF, EVAL, PolyRq
 from ..ops import galois as galoismod
 from ..ops import limb
@@ -178,6 +179,92 @@ def compute_key_switching_update(context, target: PolyRq, ksk: KeySwitchKey):
     if target.context.nlimbs == 1:
         return _compute_key_switching_update_jit(context, target, ksk)
     return _compute_key_switching_update(context, target, ksk)
+
+
+def _compute_key_switching_update_w32(context, target: PolyRq, ksk: KeySwitchKey):
+    """Row-vectorized w32 variant of the key-switching update (one batched
+    forward NTT over all (digit, ks-modulus) pairs, one lazy u64 MAC, one
+    batched inverse NTT). Bit-identical to _compute_key_switching_update
+    and ~10% faster in isolation, but measured ~35% slower inside the
+    jitted PIR expansion on v5e (XLA fuses the surrounding Galois gather
+    into the 3-way digit broadcast and re-executes it per ks modulus;
+    optimization_barrier did not prevent it), so the dispatcher keeps the
+    per-modulus path. Retained for future profiling."""
+    if target.fmt != COEFF:
+        raise errors.InvalidFormat("key switch target must be Coeff")
+    t_ctx = target.context
+    L_t = len(t_ctx.moduli)
+    ks_ctx = context.key_switching_contexts[L_t - 1]
+    L_ks = L_t + 1
+    n_components = len(ksk.ciphertexts[0].polys)
+    N = t_ctx.degree
+
+    q_row = jnp.asarray(ks_ctx.q_arr[0])  # [L_ks, 1]
+    mu32_row = jnp.asarray(
+        ks_ctx.const(
+            "mu32_rows",
+            lambda: np.array(
+                [c["mu32"] for c in ks_ctx.row_consts], dtype=object
+            )[:, None],
+        )[0]
+    )
+    r32_row = jnp.asarray(
+        ks_ctx.const(
+            "r32_rows",
+            lambda: np.array(
+                [c["r32"] for c in ks_ctx.row_consts], dtype=object
+            )[:, None],
+        )[0]
+    )
+    r32s_row = jnp.asarray(
+        ks_ctx.const(
+            "r32_shoup_rows",
+            lambda: np.array(
+                [c["r32_shoup"] for c in ks_ctx.row_consts], dtype=object
+            )[:, None],
+        )[0]
+    )
+
+    # [L_t digits, L_ks moduli, N]: digit j reduced mod each ks modulus
+    # (reduce_u32 is exact for arbitrary inputs, so rows where q_j <= q_i
+    # pass through unchanged). The barrier materializes the target once —
+    # without it XLA fuses the producer (a Galois gather on the applyGalois
+    # path) into the broadcast and re-executes it per ks modulus.
+    base = jax.lax.optimization_barrier(target.data[0])
+    x = jnp.broadcast_to(base[:, None, :], (L_t, L_ks, N))
+    (x,) = wordmod.W32.reduce_u32((x,), (q_row,), (mu32_row,))
+    (fwd,) = nttmod.forward_ntt((x,), ks_ctx.ntt_tables)  # [L_t, L_ks, N]
+
+    cw = {"mu32": mu32_row, "r32": (r32_row,), "r32_shoup": (r32s_row,)}
+    comps = []
+    for comp in range(n_components):
+        acc_lo = acc_hi = None
+        for j in range(L_t):
+            kd = ksk.ciphertexts[j].polys[comp].data[0]  # [L_top_ks, N]
+            krows = jnp.concatenate([kd[:L_t], kd[-1:]], axis=0)  # [L_ks, N]
+            lo, hi = limb.mul32(fwd[j], krows)
+            if acc_lo is None:
+                acc_lo, acc_hi = lo, hi
+            else:
+                s = acc_lo + lo
+                carry = (s < acc_lo).astype(jnp.uint32)
+                acc_lo = s
+                acc_hi = acc_hi + hi + carry
+        comps.append(
+            wordmod.W32.reduce_u64(acc_lo, acc_hi, (q_row,), cw)[0]
+        )
+    stacked = jnp.stack(comps)  # [n_comp, L_ks, N]
+    (inv,) = nttmod.inverse_ntt((stacked,), ks_ctx.ntt_tables)
+    updates = []
+    for comp in range(n_components):
+        p = PolyRq(inv[comp][None], ks_ctx, COEFF)
+        updates.append(polymod.divide_and_round_q_last(p))
+    return updates
+
+
+_compute_key_switching_update_w32_jit = jax.jit(
+    _compute_key_switching_update_w32, static_argnums=0
+)
 
 
 def _compute_key_switching_update(context, target: PolyRq, ksk: KeySwitchKey):
