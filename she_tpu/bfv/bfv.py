@@ -315,12 +315,56 @@ def plaintext_to_eval(
     return Plaintext(context, polymod.forward_ntt(lifted_poly))
 
 
+_BATCH_NTT_BLOCK = 128
+_batch_ntt_jit_cache: dict = {}
+
+
+def _blocked_forward_ntt(poly_ctx, w):
+    """Forward-NTT [W, B, L, N] word tuples through ONE jitted program that
+    lax.maps over fixed-size blocks of rows. Eagerly dispatching the staged
+    NTT compiles hundreds of per-stage kernels (~2 min for a 1M-entry PIR
+    database); here XLA compiles a single block body once (and the
+    persistent compilation cache makes repeat process runs free)."""
+    import jax
+
+    from ..ops import ntt as nttmod
+
+    B = w[0].shape[0]
+    tables = poly_ctx.ntt_tables
+    if B <= _BATCH_NTT_BLOCK:
+        key = (tables.moduli, tables.degree, tables.nlimbs, B, "direct")
+        fn = _batch_ntt_jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda x: nttmod.forward_ntt(x, tables))
+            _batch_ntt_jit_cache[key] = fn
+        return fn(w)
+    pad = (-B) % _BATCH_NTT_BLOCK
+    if pad:
+        w = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in w)
+    nblocks = (B + pad) // _BATCH_NTT_BLOCK
+    key = (tables.moduli, tables.degree, tables.nlimbs, nblocks, "map")
+    fn = _batch_ntt_jit_cache.get(key)
+    if fn is None:
+
+        def run(x):
+            blocked = tuple(
+                a.reshape((nblocks, _BATCH_NTT_BLOCK) + a.shape[1:]) for a in x
+            )
+            out = jax.lax.map(lambda blk: nttmod.forward_ntt(blk, tables), blocked)
+            return tuple(a.reshape((nblocks * _BATCH_NTT_BLOCK,) + a.shape[2:]) for a in out)
+
+        fn = jax.jit(run)
+        _batch_ntt_jit_cache[key] = fn
+    out = fn(w)
+    if pad:
+        out = tuple(a[:B] for a in out)
+    return out
+
+
 def batch_encode_to_eval(context: BfvContext, coeff_rows: np.ndarray, moduli_count: int | None = None) -> list:
     """Batch-encode many coefficient-format plaintexts (object array [B, N]
     of values mod t) into Eval plaintexts with ONE batched NTT — the TPU-fast
     path for PIR/PNNS database processing."""
-    from ..ops import ntt as nttmod
-
     c = moduli_count or len(context.ciphertext_context.moduli)
     poly_ctx = context.ciphertext_context.get_context(c)
     t = context.plaintext_modulus
@@ -332,7 +376,7 @@ def batch_encode_to_eval(context: BfvContext, coeff_rows: np.ndarray, moduli_cou
         lifted[:, i, :] = np.where(coeff_rows < t_threshold, coeff_rows, coeff_rows + (qi - t))
     packed = wordmod.pack(lifted, poly_ctx.nlimbs)  # [W, B, L, N]
     w = tuple(jnp.asarray(packed[i]) for i in range(poly_ctx.nlimbs))
-    ev = nttmod.forward_ntt(w, poly_ctx.ntt_tables)
+    ev = _blocked_forward_ntt(poly_ctx, w)
     stacked = jnp.stack(ev)  # [W, B, L, N]
     out = []
     for b in range(B):
