@@ -68,20 +68,18 @@ def main(argv=None):
 
     trials = config.get("trialsPerShard", 1)
     if trials > 0:
-        client = pnns.Client(client_config)
-        sk = client.generate_secret_key()
-        ek = client.generate_evaluation_key(sk)
-        server = pnns.Server(processed)
-        query_vec = np.stack([database.rows[0].vector])
-        t0 = time.perf_counter()
-        query = client.generate_query(query_vec, sk)
-        response = server.compute_response(query, ek)
-        distances, _, _ = client.decrypt(response, sk)
+        result = pnns.validate_database(processed, trials=trials)
         print(
-            f"validation: {time.perf_counter() - t0:.2f}s, "
-            f"self-similarity {float(distances[0, 0]):.4f}, "
-            f"noise budget {response.noise_budget(sk):.2f}"
+            f"validation ({trials} trial(s)): "
+            f"query {result.query_time_s * 1e3:.1f} ms, "
+            f"response {result.response_time_s * 1e3:.1f} ms, "
+            f"decrypt {result.decrypt_time_s * 1e3:.1f} ms, "
+            f"noise budget {result.noise_budget:.2f}, "
+            f"max |error| {result.max_abs_error:.2e}"
         )
+        if result.noise_budget <= 0:
+            print("validation FAILED: noise budget exhausted", file=sys.stderr)
+            return 1
     return 0
 
 

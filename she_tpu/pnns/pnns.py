@@ -819,3 +819,76 @@ class Server:
             result = result.mod_switch_down_to_single().to_coeff()
             out.append(result)
         return Response(out, self.database.entry_ids, self.database.entry_metadatas)
+
+
+@dataclass
+class DatabaseValidationResult:
+    """Self-check metrics for a processed PNNS database, the analogue of the
+    reference's ProcessedDatabaseWithParameters.validate
+    (PrivateNearestNeighborSearch/ProcessedDatabase.swift:93-160)."""
+
+    query_time_s: float
+    response_time_s: float
+    decrypt_time_s: float
+    noise_budget: float
+    max_abs_error: float
+
+
+def validate_database(
+    processed: ProcessedDatabase, trials: int = 1, n_queries: int = 1
+) -> DatabaseValidationResult:
+    """Run fresh-key query/response/decrypt trials against the plaintext
+    cosine-similarity reference; returns the min times across trials (the
+    reference reports the fastest trial) and the worst-case decode error."""
+    import time
+
+    config = processed.server_config.client_config
+    client = Client(config)
+    sk = client.generate_secret_key()
+    ek = client.generate_evaluation_key(sk)
+    server = Server(processed)
+    best_q = best_r = best_d = float("inf")
+    worst_err = 0.0
+    budget = float("inf")
+    rng = np.random.default_rng(0)
+    for _ in range(max(1, trials)):
+        qvecs = rng.standard_normal((n_queries, config.vector_dimension)).astype(
+            np.float32
+        )
+        t0 = time.perf_counter()
+        query = client.generate_query(qvecs, sk)
+        best_q = min(best_q, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        response = server.compute_response(query, ek)
+        best_r = min(best_r, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        distances, _, _ = client.decrypt(response, sk)
+        best_d = min(best_d, time.perf_counter() - t0)
+        budget = min(budget, response.noise_budget(sk))
+        # fixed-point reference (PNNS Util.swift:142-155): distances from
+        # the *rounded* database rows and rounded query, both scaled.
+        sf = float(config.scaling_factor)
+        qr = normalized_scaled_and_rounded(qvecs, sf)
+        db_rounded = _rounded_rows(processed)
+        expected = (db_rounded @ qr.T).astype(np.float64) / (sf * sf)
+        err = float(np.max(np.abs(expected - distances.astype(np.float64))))
+        worst_err = max(worst_err, err)
+    return DatabaseValidationResult(best_q, best_r, best_d, budget, worst_err)
+
+
+def _rounded_rows(processed: ProcessedDatabase) -> np.ndarray:
+    """Recover the signed fixed-point database rows from the first plaintext
+    matrix (exact CRT recompose across plaintext moduli)."""
+    moduli = [ctx.plaintext_modulus for ctx in processed.contexts]
+    T = math.prod(moduli)
+    unpacked = [m.unpack() for m in processed.plaintext_matrices]
+    vals = []
+    for i in range(len(unpacked[0])):
+        x = 0
+        for j, t in enumerate(moduli):
+            gi = T // t
+            x += (unpacked[j][i] * nt.inverse_mod(gi % t, t) % t) * gi
+        x %= T
+        vals.append(x - T if x > (T - 1) // 2 else x)
+    dims = processed.plaintext_matrices[0].dimensions
+    return np.array(vals, dtype=np.int64).reshape(dims.row_count, dims.column_count)

@@ -182,3 +182,32 @@ def test_pnns_plaintext_crt(ctx):
     distances, _, _ = client.decrypt(response, sk)
     assert abs(float(distances[0, 0]) - 1.0) < 1e-5
     assert abs(float(distances[1, 0])) < 1e-5
+
+
+def test_pnns_validate_database(ctx):
+    """validate_database runs fresh-key trials vs the fixed-point reference
+    (ProcessedDatabase.swift:93-160)."""
+    dim = 2
+    db_rows = 3
+    sf = pnns.max_scaling_factor(dim, [ctx.plaintext_modulus])
+    ek_config = pnns.matmul_evaluation_key_config(
+        ctx, pnns.MatrixDimensions(db_rows, dim), 1
+    )
+    client_config = pnns.ClientConfig.create(
+        ctx.params, sf, pnns.MatrixPacking.dense_row(), dim, ek_config
+    )
+    server_config = pnns.ServerConfig(
+        client_config,
+        pnns.MatrixPacking.diagonal(pnns.BabyStepGiantStep.create(dim)),
+    )
+    vectors = np.array(
+        [[1.0, 0.0], [0.6, 0.8], [-0.7, 0.7]], dtype=np.float32
+    )
+    db = pnns.Database(
+        [pnns.DatabaseRow(i, b"", vectors[i]) for i in range(db_rows)]
+    )
+    processed = pnns.process_database(db, server_config)
+    result = pnns.validate_database(processed, trials=2)
+    assert result.noise_budget > 0
+    assert result.max_abs_error < 1e-6
+    assert result.query_time_s > 0 and result.response_time_s > 0

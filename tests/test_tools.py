@@ -208,7 +208,7 @@ def test_cli_pnns_pipeline(tmp_path):
     with open(config_path, "w") as f:
         json.dump(config, f)
     out = run_cli("pnns_process_database", config_path)
-    assert "self-similarity" in out
+    assert "noise budget" in out and "max |error|" in out
     assert os.path.exists(config["outputDatabase"])
 
 
