@@ -99,7 +99,12 @@ def main(argv=None):
     print(f"Loaded {len(rows)} rows from {config['inputDatabase']}")
 
     t0 = time.perf_counter()
-    processed = pdb.process(rows, arguments)
+    on_event = (
+        (lambda kind, detail: print(f"cuckoo: {kind} {detail}"))
+        if config.get("verbose")
+        else None
+    )
+    processed = pdb.process(rows, arguments, on_event=on_event)
     print(
         f"Processed {len(processed.shards)} shard(s) in {time.perf_counter() - t0:.2f}s"
     )

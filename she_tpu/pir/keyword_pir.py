@@ -166,10 +166,16 @@ def default_max_serialized_bucket_size(max_value_size: int, bytes_per_plaintext:
 
 
 class CuckooTable:
-    def __init__(self, config: CuckooTableConfig, database, rng: random.Random | None = None):
-        """database: iterable of (keyword bytes, value bytes)."""
+    def __init__(self, config: CuckooTableConfig, database, rng: random.Random | None = None,
+                 on_event=None):
+        """database: iterable of (keyword bytes, value bytes). on_event, if
+        given, receives observability events as (kind, detail) tuples —
+        ("createdTable", bucket_count), ("expandedTable", new_bucket_count),
+        ("insertedEntry", entry_count so far) every 10%% of the database —
+        the analogue of CuckooTable.Event (CuckooTable.swift:285-293)."""
         self.config = config
         self.rng = rng or random.Random()
+        self.on_event = on_event
         database = list(database)
         self.table_count = config.hash_function_count if config.multiple_tables else 1
         if config.bucket_count.kind == "allowExpansion":
@@ -180,8 +186,16 @@ class CuckooTable:
         else:
             target = -(-config.bucket_count.bucket_count // self.table_count) * self.table_count
         self.buckets: list[list[tuple[bytes, bytes]]] = [[] for _ in range(max(target, self.table_count))]
-        for kw, val in database:
+        self._emit("createdTable", len(self.buckets))
+        report_every = max(1, len(database) // 10)
+        for i, (kw, val) in enumerate(database):
             self.insert(kw, val)
+            if (i + 1) % report_every == 0:
+                self._emit("insertedEntry", i + 1)
+
+    def _emit(self, kind: str, detail):
+        if self.on_event is not None:
+            self.on_event(kind, detail)
 
     @property
     def buckets_per_table(self) -> int:
@@ -252,6 +266,7 @@ class CuckooTable:
         count = math.ceil(len(old) * self.config.bucket_count.expansion_factor)
         count = -(-count // self.table_count) * self.table_count
         self.buckets = [[] for _ in range(count)]
+        self._emit("expandedTable", count)
         for bucket in old:
             for kw, val in bucket:
                 self.insert(kw, val)
@@ -391,10 +406,11 @@ class KeywordPirServer:
         config: KeywordPirConfig,
         context,
         rng: random.Random | None = None,
+        on_event=None,
     ) -> ProcessedDatabaseWithParameters:
         """database: iterable of (keyword, value) pairs."""
         ct_config = config.cuckoo_table_config
-        cuckoo = CuckooTable(ct_config, database, rng=rng)
+        cuckoo = CuckooTable(ct_config, database, rng=rng, on_event=on_event)
         entry_table = cuckoo.serialize_buckets()
         if config.use_max_serialized_bucket_size:
             max_entry_size = ct_config.max_serialized_bucket_size

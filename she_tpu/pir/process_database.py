@@ -60,16 +60,17 @@ class ShardValidationResult:
     compute_times: list
 
 
-def process_shard(shard_rows, arguments: Arguments, rng=None):
+def process_shard(shard_rows, arguments: Arguments, rng=None, on_event=None):
     """Process one shard (KeywordDatabase.swift:516-545)."""
     context = bfv.get_bfv_context(arguments.encryption_parameters)
     rows = list(shard_rows.items()) if isinstance(shard_rows, dict) else list(shard_rows)
     return kp.KeywordPirServer.process(
-        rows, arguments.database_config.keyword_pir_config, context, rng=rng
+        rows, arguments.database_config.keyword_pir_config, context, rng=rng,
+        on_event=on_event,
     )
 
 
-def process(rows: dict, arguments: Arguments, rng=None) -> Processed:
+def process(rows: dict, arguments: Arguments, rng=None, on_event=None) -> Processed:
     """Shard + process the full database; evaluation-key config is unioned
     across shards (KeywordDatabase.swift:640-671). With a Symmetric PIR
     config, rows are OPRF-encrypted first and sharding uses the oblivious
@@ -85,7 +86,7 @@ def process(rows: dict, arguments: Arguments, rng=None) -> Processed:
     processed = {}
     ek_config = keys.EvaluationKeyConfig()
     for shard_id, shard_rows in sorted(shards.items()):
-        p = process_shard(shard_rows, arguments, rng=rng)
+        p = process_shard(shard_rows, arguments, rng=rng, on_event=on_event)
         processed[shard_id] = p
         ek_config = ek_config.union(p.pir_parameter.evaluation_key_config)
     return Processed(ek_config, processed)
