@@ -64,12 +64,14 @@ def coefficients_to_bytes(coeffs, bits_per_coeff: int, skip_lsbs: int = 0) -> by
     """coeffs: array of ints -> MSB-first bitstream of truncated coeffs."""
     _validate(bits_per_coeff, skip_lsbs)
     sbc = bits_per_coeff - skip_lsbs
-    arr = np.asarray(coeffs, dtype=object) >> skip_lsbs
+    # moduli are <= 62 bits, so coefficients always fit u64: extract the
+    # MSB-first bit matrix with vectorized uint64 shifts (object-dtype
+    # big-int shifts were ~50x slower and dominated ciphertext serialize).
+    arr = np.asarray(coeffs, dtype=object).astype(np.uint64) >> np.uint64(skip_lsbs)
     n = len(arr)
+    shifts = np.arange(sbc - 1, -1, -1, dtype=np.uint64)
     # bits[i, j] = j'th MSB of the serialized field of coeff i
-    bits = np.zeros((n, sbc), dtype=np.uint8)
-    for j in range(sbc):
-        bits[:, j] = ((arr >> (sbc - 1 - j)) & 1).astype(np.uint8)
+    bits = ((arr[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
     flat = bits.reshape(-1)
     nbytes = coefficients_to_bytes_byte_count(n, bits_per_coeff, skip_lsbs)
     padded = np.zeros(nbytes * 8, dtype=np.uint8)
@@ -93,10 +95,9 @@ def bytes_to_coefficients(
     if len(bits) < need:
         bits = np.concatenate([bits, np.zeros(need - len(bits), dtype=np.uint8)])
     bits = bits[:need].reshape(count, sbc)
-    out = np.zeros(count, dtype=object)
-    for j in range(sbc):
-        out = (out << 1) + bits[:, j].astype(object)
-    return out << skip_lsbs
+    weights = np.uint64(1) << np.arange(sbc - 1, -1, -1, dtype=np.uint64)
+    out64 = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    return (out64 << np.uint64(skip_lsbs)).astype(object)
 
 
 # ---------------------------------------------------------------------------
