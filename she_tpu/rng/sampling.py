@@ -25,14 +25,25 @@ def sample_uniform(rng, moduli: list[int], degree: int) -> np.ndarray:
     """
     chunk = min(degree, 1024)
     out = np.zeros((len(moduli), degree), dtype=object)
+    radix = np.uint64(1 << 32)
     for rns_index, q in enumerate(moduli):
         for base in range(0, degree, chunk):
             data = rng.random_bytes(chunk * 16)
-            # vectorize u128 % q via two u64 halves
-            u = np.frombuffer(data, dtype="<u8").reshape(chunk, 2)
-            lo = u[:, 0].astype(object)
-            hi = u[:, 1].astype(object)
-            out[rns_index, base : base + chunk] = (hi * (1 << 64) + lo) % q
+            if q < (1 << 32):
+                # exact u128 % q fully in uint64: MSB-first Horner over the
+                # four u32 limbs; r < q < 2^32 keeps r*2^32 + limb < 2^64.
+                limbs = np.frombuffer(data, dtype="<u4").reshape(chunk, 4)
+                qv = np.uint64(q)
+                r = np.zeros(chunk, dtype=np.uint64)
+                for j in (3, 2, 1, 0):
+                    r = (r * radix + limbs[:, j].astype(np.uint64)) % qv
+                out[rns_index, base : base + chunk] = r.astype(object)
+            else:
+                # u128 % q via two u64 halves (object big-int fallback)
+                u = np.frombuffer(data, dtype="<u8").reshape(chunk, 2)
+                lo = u[:, 0].astype(object)
+                hi = u[:, 1].astype(object)
+                out[rns_index, base : base + chunk] = (hi * (1 << 64) + lo) % q
     return out
 
 
@@ -46,9 +57,12 @@ def sample_ternary(rng, moduli: list[int], degree: int) -> np.ndarray:
     # Consume bytes in the same order: 8 bytes then 4 bytes per coefficient.
     data = rng.random_bytes(degree * 12)
     raw = np.frombuffer(data, dtype=np.uint8).reshape(degree, 12)
-    u64 = raw[:, :8].copy().view("<u8")[:, 0].astype(object)
-    u32 = raw[:, 8:].copy().view("<u4")[:, 0].astype(object)
-    vals = np.array([int(v) for v in ((u64 << 32) | u32) % 3], dtype=np.int64)
+    u64 = raw[:, :8].copy().view("<u8")[:, 0]
+    u32 = raw[:, 8:].copy().view("<u4")[:, 0].astype(np.uint64)
+    # (u64<<32 | u32) % 3 exactly in uint64 via Horner: r < 3 keeps
+    # r*2^32 + u32 < 2^34.
+    r = (u64 % np.uint64(3)) * np.uint64(1 << 32) + u32
+    vals = (r % np.uint64(3)).astype(np.int64)
     out = np.zeros((len(moduli), degree), dtype=object)
     for rns_index, q in enumerate(moduli):
         row = vals - 1  # in {-1, 0, 1}
