@@ -195,7 +195,9 @@ def pack_database_chunk(plaintexts: list, d0: int, ct_ctx) -> np.ndarray:
 
 def dim0_inner_products(db_chunk, query_eval, ct_ctx):
     """db_chunk [C, d0, W, L, N] u32; query_eval [d0, polys=2, W, L, N] u32
-    -> [C, 2, W, L, N] reduced results (w32 path)."""
+    -> [C, 2, W, L, N] reduced results."""
+    if ct_ctx.nlimbs == 2:
+        return _dim0_inner_products_w64(db_chunk, query_eval, ct_ctx)
     assert ct_ctx.nlimbs == 1
     d0 = db_chunk.shape[1]
     cap = max(1, ct_ctx.max_lazy_product_accumulation_count() // 2)
@@ -215,6 +217,52 @@ def dim0_inner_products(db_chunk, query_eval, ct_ctx):
         red = _reduce_u64_rows(acc_lo, acc_hi, ct_ctx)  # [C, 2, L, N]
         total = red if total is None else _add_mod_rows(total, red, ct_ctx)
     return total[:, :, None]  # restore W axis
+
+
+def _dim0_inner_products_w64(db_chunk, query_eval, ct_ctx):
+    """2-limb (w64) variant: 128-bit lazy MAC limbs with periodic exact
+    reduction (same schedule as inner_product_ct_pt's w64 path)."""
+    d0 = db_chunk.shape[1]
+    cap = max(1, ct_ctx.max_lazy_product_accumulation_count() // 2)
+    total = None  # word tuple of [C, 2, L, N]
+    for start in range(0, d0, cap):
+        acc = None  # u128 as 4 u32 limb arrays [C, 2, L, N]
+        for j in range(start, min(start + cap, d0)):
+            dw = (db_chunk[:, j, None, 0], db_chunk[:, j, None, 1])  # [C, 1, L, N]
+            qw = (query_eval[j, :, 0], query_eval[j, :, 1])  # [2, L, N]
+            term = limb.mul64(dw, qw)
+            acc = term if acc is None else limb.add128(acc, term)
+        red = _reduce_u128_rows(acc, ct_ctx)
+        total = (
+            red
+            if total is None
+            else wordmod.W64.add_mod(total, red, _q_word_cols(ct_ctx))
+        )
+    return jnp.stack(total, axis=2)  # [C, 2, W=2, L, N]
+
+
+def _q_word_cols(ctx):
+    """Word tuple of [L, 1] modulus columns (broadcast against [..., L, N])."""
+    q = jnp.asarray(ctx.q_arr)  # [W, L, 1]
+    return tuple(q[l] for l in range(ctx.nlimbs))
+
+
+def _reduce_u128_rows(p, ctx):
+    """Per-RNS-row exact reduction of 128-bit limb quads ([..., L, N])."""
+    los, his = [], []
+    for i, rc in enumerate(ctx.row_consts):
+        cw = {
+            "k": rc["k"],
+            "mu": ctx.row_word("mu", i),
+            "mu32": np.uint32(rc["mu32"]),
+            "r32": ctx.row_word("r32", i),
+            "r32_shoup": ctx.row_word("r32_shoup", i),
+        }
+        pr = tuple(x[..., i, :] for x in p)
+        r = wordmod.W64.reduce_u128(pr, ctx.row_word("q", i), cw)
+        los.append(r[0])
+        his.append(r[1])
+    return (jnp.stack(los, axis=-2), jnp.stack(his, axis=-2))
 
 
 def _reduce_u64_rows(lo, hi, ctx):
@@ -279,8 +327,6 @@ class BatchedMulPirServer:
         self.parameter = parameter
         self.context = context
         self.ct_ctx = context.ciphertext_context
-        if self.ct_ctx.nlimbs != 1:
-            raise errors.PirError("BatchedMulPirServer requires a w32 parameter set")
         self.databases = databases
         d0 = parameter.dimensions[0]
         n_chunks = ip.chunk_count(parameter, context)
@@ -399,7 +445,16 @@ class BatchedMulPirServer:
 
                 return jax.vmap(one)(stacked_ct_data)
 
-            self._respond_jit[key] = jax.jit(run)
+            # One fused program for the w32 fast path. The 2-limb (w64)
+            # pipeline stays un-jitted: XLA:CPU's LLVM backend goes
+            # superlinear on the fully-fused u128 MAC/reduce graph (hours
+            # for even tiny shapes), while eager vmap compiles each
+            # primitive once, stays batched, and is still served from the
+            # op cache (same reason scaleAndRound/BEHZ are w32-conditional
+            # jits in bfv.py).
+            self._respond_jit[key] = (
+                jax.jit(run) if self.ct_ctx.nlimbs == 1 else run
+            )
         out = self._respond_jit[key](stacked, evaluation_key)
         responses = []
         single_ctx = self.ct_ctx.get_context(1)

@@ -105,3 +105,40 @@ def test_batched_keyword_server(setup):
     assert kw_client.decrypt(responses[0], keywords[0], sk) == rows[0][1]
     assert kw_client.decrypt(responses[1], keywords[1], sk) == rows[5][1]
     assert kw_client.decrypt(responses[2], keywords[2], sk) is None
+
+
+def test_batched_server_w64():
+    """Batched serving on the 2-limb (w64) path matches the reference-path
+    server bit-for-bit and decrypts correctly."""
+    ep = paramsmod.from_predefined("insecure_n_8_logq_5x18_logt_5", 64)
+    ctx = bfv.get_bfv_context(ep)
+    sk = bfv.generate_secret_key(ctx, det_rng(b"s"))
+    config = ip.IndexPirConfig(
+        entry_count=12,
+        entry_size_in_bytes=1,
+        dimension_count=2,
+        batch_size=1,
+        uneven_dimensions=True,
+        key_compression=ip.PirKeyCompression.NO_COMPRESSION,
+    )
+    parameter = ip.generate_parameter(config, ctx)
+    rng = np.random.default_rng(5)
+    database = [bytes(rng.integers(0, 256, size=1).tolist()) for _ in range(12)]
+    processed = ip.MulPirServer.process(database, ctx, parameter)
+    client = ip.MulPirClient(parameter, ctx)
+    ek = client.generate_evaluation_key(sk, det_rng(b"k"))
+    reference_server = ip.MulPirServer(parameter, ctx, [processed])
+    batched_server = serving.BatchedMulPirServer(parameter, ctx, [processed])
+    indices = [0, 11]
+    queries = [client.generate_query([i], sk) for i in indices]
+    batch_responses = batched_server.compute_response_batch(queries, ek)
+    for i, (index, query) in enumerate(zip(indices, queries)):
+        ref_response = reference_server.compute_response(query, ek)
+        got = client.decrypt(batch_responses[i], [index], sk)
+        assert got[0][:1] == database[index]
+        for ref_reply, got_reply in zip(
+            ref_response.ciphertexts, batch_responses[i].ciphertexts
+        ):
+            for rc, gc in zip(ref_reply, got_reply):
+                for rp, gp in zip(rc.polys, gc.polys):
+                    assert (np.asarray(rp.data) == np.asarray(gp.data)).all()
