@@ -21,6 +21,7 @@ function serves every batch.
 from __future__ import annotations
 
 import functools
+import os
 import math
 from dataclasses import dataclass
 
@@ -446,15 +447,20 @@ class BatchedMulPirServer:
                 return jax.vmap(one)(stacked_ct_data)
 
             # One fused program for the w32 fast path. The 2-limb (w64)
-            # pipeline stays un-jitted: XLA:CPU's LLVM backend goes
-            # superlinear on the fully-fused u128 MAC/reduce graph (hours
-            # for even tiny shapes), while eager vmap compiles each
-            # primitive once, stays batched, and is still served from the
-            # op cache (same reason scaleAndRound/BEHZ are w32-conditional
-            # jits in bfv.py).
-            self._respond_jit[key] = (
-                jax.jit(run) if self.ct_ctx.nlimbs == 1 else run
+            # pipeline stays un-jitted by default: XLA:CPU's LLVM backend
+            # goes superlinear on the fully-fused u128 MAC/reduce graph
+            # (hours for even tiny shapes; XLA:TPU takes ~2.4 min at N=8),
+            # while eager vmap compiles each primitive once, stays batched,
+            # and is still served from the op cache (same reason
+            # scaleAndRound/BEHZ are w32-conditional jits in bfv.py).
+            # SHE_TPU_W64_FUSED_SERVING=1 opts into the fused program for
+            # long-running TPU deployments where the one-time (disk-cached)
+            # compile amortizes.
+            fused = (
+                self.ct_ctx.nlimbs == 1
+                or os.environ.get("SHE_TPU_W64_FUSED_SERVING") == "1"
             )
+            self._respond_jit[key] = jax.jit(run) if fused else run
         out = self._respond_jit[key](stacked, evaluation_key)
         responses = []
         single_ctx = self.ct_ctx.get_context(1)
