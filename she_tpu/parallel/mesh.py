@@ -86,3 +86,27 @@ def dim0_partial_psum(db_chunk, query_eval, ct_ctx, mesh: Mesh, axis: str = "db"
         out_specs=P(None),
         check_rep=False,
     )(db_chunk, query_eval)
+
+
+def batch_parallel_pnns_response(server, queries, evaluation_key, mesh: Mesh):
+    """PNNS analogue of batch_parallel_response: shard the query batch of a
+    pnns_serving.BatchedPnnsServer across the mesh; XLA SPMD partitions the
+    whole BSGS matmul pipeline with no manual collectives."""
+    axis = mesh.axis_names[0]
+    B = len(queries)
+    assert B % mesh.devices.size == 0, "batch must divide the mesh"
+    n_matrices = len(queries[0].ciphertext_matrices)
+    stacked = [
+        jnp.stack(
+            [
+                jnp.stack(
+                    [p.data for p in q.ciphertext_matrices[mi].ciphertexts[0].polys]
+                )
+                for q in queries
+            ]
+        )
+        for mi in range(n_matrices)
+    ]
+    sharding = NamedSharding(mesh, P(axis))
+    stacked = [jax.device_put(s, sharding) for s in stacked]
+    return server.compute_response_batch_from_stacked(stacked, evaluation_key, B)

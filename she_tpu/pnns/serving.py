@@ -133,6 +133,23 @@ class BatchedPnnsServer:
         """queries: list of pnns.Query (single-row query matrices)."""
         B = len(queries)
         n_matrices = len(self.packed)
+        stacked = [
+            jnp.stack(
+                [
+                    jnp.stack(
+                        [p.data for p in q.ciphertext_matrices[mi].ciphertexts[0].polys]
+                    )
+                    for q in queries
+                ]
+            )
+            for mi in range(n_matrices)
+        ]
+        return self.compute_response_batch_from_stacked(stacked, evaluation_key, B)
+
+    def compute_response_batch_from_stacked(self, stacked, evaluation_key, B):
+        """stacked: [n_matrices] list of [B, 2, W, L, N] (possibly sharded
+        over a mesh axis on the query-batch dimension)."""
+        n_matrices = len(self.packed)
         key = (B, n_matrices)
         if key not in self._jit:
 
@@ -162,17 +179,6 @@ class BatchedPnnsServer:
                 return jax.vmap(one)(stacked)
 
             self._jit[key] = jax.jit(run)
-        stacked = [
-            jnp.stack(
-                [
-                    jnp.stack(
-                        [p.data for p in q.ciphertext_matrices[mi].ciphertexts[0].polys]
-                    )
-                    for q in queries
-                ]
-            )
-            for mi in range(n_matrices)
-        ]
         out = self._jit[key](stacked, evaluation_key)
         responses = []
         for b in range(B):

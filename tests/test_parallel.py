@@ -70,3 +70,57 @@ def test_dim0_partial_psum_matches_single_device(setup):
     m = meshmod.make_mesh(S, "db")
     sharded = meshmod.dim0_partial_psum(chunk, query_eval, ct_ctx, m)
     assert (np.asarray(sharded) == np.asarray(single)).all()
+
+
+def test_batch_parallel_pnns_response():
+    """PNNS query-batch SPMD: sharded results match the unsharded server."""
+    import numpy as np
+
+    from she_tpu.bfv import keys
+    from she_tpu.pnns import pnns
+    from she_tpu.pnns import serving as pnns_serving
+    from she_tpu.parallel import mesh as meshmod
+
+    ep = paramsmod.from_predefined("insecure_n_8_logq_5x18_logt_5", 32)
+    ctx = bfv.get_bfv_context(ep)
+    sk = bfv.generate_secret_key(ctx, det_rng(b"s"))
+    dim = 2
+    db_rows = 3
+    sf = pnns.max_scaling_factor(dim, [ctx.plaintext_modulus])
+    ek_config = pnns.matmul_evaluation_key_config(
+        ctx, pnns.MatrixDimensions(db_rows, dim), 1
+    )
+    client_config = pnns.ClientConfig.create(
+        ep, sf, pnns.MatrixPacking.dense_row(), dim, ek_config
+    )
+    server_config = pnns.ServerConfig(
+        client_config,
+        pnns.MatrixPacking.diagonal(pnns.BabyStepGiantStep.create(dim)),
+    )
+    rng = np.random.default_rng(3)
+    vectors = rng.standard_normal((db_rows, dim)).astype(np.float32)
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    db = pnns.Database(
+        [pnns.DatabaseRow(i, b"", vectors[i]) for i in range(db_rows)]
+    )
+    processed = pnns.process_database(db, server_config)
+    client = pnns.Client(client_config)
+    ek = keys.generate_evaluation_key(ctx, ek_config, sk, det_rng(b"k"))
+    server = pnns_serving.BatchedPnnsServer(processed)
+    B = 8
+    queries = [
+        client.generate_query(
+            rng.standard_normal((1, dim)).astype(np.float32),
+            sk,
+            err_rng=det_rng(bytes([i])),
+        )
+        for i in range(B)
+    ]
+    expected = server.compute_response_batch(queries, ek)
+    m = meshmod.make_mesh(8)
+    got = meshmod.batch_parallel_pnns_response(server, queries, ek, m)
+    for e, g in zip(expected, got):
+        for em, gm in zip(e.ciphertext_matrices, g.ciphertext_matrices):
+            for ec, gc in zip(em.ciphertexts, gm.ciphertexts):
+                for epoly, gpoly in zip(ec.polys, gc.polys):
+                    assert (np.asarray(epoly.data) == np.asarray(gpoly.data)).all()
