@@ -371,10 +371,16 @@ def batch_encode_to_eval(context: BfvContext, coeff_rows: np.ndarray, moduli_cou
     t_threshold = (t + 1) // 2
     B = coeff_rows.shape[0]
     L = len(poly_ctx.moduli)
-    lifted = np.zeros((B, L, poly_ctx.degree), dtype=object)
+    # centered lift in uint64 (t < q_i < 2^62, so every value fits):
+    # object-dtype where/add was the remaining host hotspot of DB processing
+    rows64 = np.asarray(coeff_rows, dtype=object).astype(np.uint64)
+    small = rows64 < np.uint64(t_threshold)
+    lifted = np.zeros((B, L, poly_ctx.degree), dtype=np.uint64)
     for i, qi in enumerate(poly_ctx.moduli):
-        lifted[:, i, :] = np.where(coeff_rows < t_threshold, coeff_rows, coeff_rows + (qi - t))
-    packed = wordmod.pack(lifted, poly_ctx.nlimbs)  # [W, B, L, N]
+        lifted[:, i, :] = np.where(small, rows64, rows64 + np.uint64(qi - t))
+    packed = np.zeros((poly_ctx.nlimbs, B, L, poly_ctx.degree), dtype=np.uint32)
+    for w in range(poly_ctx.nlimbs):
+        packed[w] = ((lifted >> np.uint64(32 * w)) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     w = tuple(jnp.asarray(packed[i]) for i in range(poly_ctx.nlimbs))
     ev = _blocked_forward_ntt(poly_ctx, w)
     stacked = jnp.stack(ev)  # [W, B, L, N]
