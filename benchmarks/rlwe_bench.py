@@ -136,6 +136,33 @@ def bench_bfv(batch: int, iters: int):
     for _ in range(5):
         bfv.decrypt(ct1, sk)
     results.append(("BFV N=4096 w32 decrypt", (time.perf_counter() - t0) / 5))
+
+    # ContextInit / keygen / encode / decode (RlweBenchmark.swift:27-110)
+    t0 = time.perf_counter()
+    bfv.get_bfv_context(ep)
+    results.append(("BFV N=4096 w32 ContextInit (cold)", time.perf_counter() - t0))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        bfv.generate_secret_key(ctx, det(b"g"))
+    results.append(("BFV N=4096 w32 secretKey gen", (time.perf_counter() - t0) / 5))
+    t0 = time.perf_counter()
+    keys.generate_evaluation_key(
+        ctx,
+        keys.EvaluationKeyConfig(galois_elements=(3,), has_relinearization_key=True),
+        sk,
+        det(b"h"),
+    )
+    results.append(("BFV N=4096 w32 evaluationKey gen", time.perf_counter() - t0))
+    bfv.encode(ctx, vals)  # warm: drain pending async device work
+    t0 = time.perf_counter()
+    for _ in range(10):
+        bfv.encode(ctx, vals)
+    results.append(("BFV N=4096 w32 encode (coeff)", (time.perf_counter() - t0) / 10))
+    bfv.decode(ctx, pt)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        bfv.decode(ctx, pt)
+    results.append(("BFV N=4096 w32 decode (coeff)", (time.perf_counter() - t0) / 10))
     return results
 
 

@@ -296,7 +296,6 @@ def plaintext_to_eval(
     poly_ctx = context.ciphertext_context.get_context(c)
     t = context.plaintext_modulus
     t_threshold = (t + 1) // 2
-    src = plaintext.poly.word()[: poly_ctx.nlimbs]
     src = plaintext.poly.word()
     W = poly_ctx.word
     rows = []
