@@ -22,6 +22,8 @@ def _enable_persistent_compilation_cache() -> None:
     try:
         import jax
 
+        if jax.config.jax_compilation_cache_dir is not None:
+            return  # the application already configured a cache; don't clobber
         cache_dir = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             _os.path.expanduser("~/.cache/she_tpu_jax"),

@@ -64,6 +64,10 @@ class SimdEncodingNotSupported(HeError):
     pass
 
 
+class InvalidArgument(HeError):
+    """An API argument violates a documented precondition."""
+
+
 class EncodingError(HeError):
     pass
 

@@ -54,7 +54,10 @@ def bytes_to_coefficients_coeff_count(byte_count: int, bits_per_coeff: int, deco
 
 
 def _validate(bits_per_coeff: int, skip_lsbs: int):
-    if not (bits_per_coeff > 0 and bits_per_coeff > skip_lsbs and skip_lsbs >= 0):
+    # <= 64: the vectorized packing paths below use uint64 shifts, which are
+    # undefined for shift counts >= 64 (moduli are <= 62 bits, so any wider
+    # request is a caller bug and must fail loudly).
+    if not (0 < bits_per_coeff <= 64 and bits_per_coeff > skip_lsbs and skip_lsbs >= 0):
         raise errors.SerializationError(
             f"invalid packing bitsPerCoeff={bits_per_coeff} skipLSBs={skip_lsbs}"
         )

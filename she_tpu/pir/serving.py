@@ -320,8 +320,10 @@ class BatchedKeywordPirServer:
 class BatchedMulPirServer:
     """Serves query batches with one jitted TPU program.
 
-    Restricted to the w32 fast path (scalar_bits=32 parameter sets) — the
-    configuration recommended for TPU serving.
+    Both scalar widths are served: the w32 fast path (scalar_bits=32
+    parameter sets, recommended for TPU serving) runs as one fused jit; the
+    2-limb w64 path runs as a pipeline of smaller cached jits (see
+    compute_response_batch_from_stacked).
     """
 
     def __init__(self, parameter: ip.IndexPirParameter, context, databases: list):
@@ -343,10 +345,9 @@ class BatchedMulPirServer:
             self.chunks.append(packed)
         self._respond_jit = {}
 
-    def _respond_one(self, query_cts: list, evaluation_key, db_index: int):
+    def _respond_one(self, query_cts: list, evaluation_key, indices_count: int):
         """Traced single-query response (same math as MulPirServer)."""
         parameter = self.parameter
-        indices_count = getattr(self, "_indices_count", 1)
         expanded_all = expand_batched(
             query_cts,
             parameter.expanded_query_count * indices_count,
@@ -402,13 +403,11 @@ class BatchedMulPirServer:
             reply.append(bfv.ct_to_coeff(single))
         return reply
 
-    def compute_response_batch(self, queries: list, evaluation_key) -> list:
-        """queries: list of ip.Query (one index each); returns list of
-        ip.Response. Uses one jitted program for the whole batch via vmap
-        over the query axis."""
-        B = len(queries)
+    @staticmethod
+    def stack_queries(queries: list) -> tuple:
+        """Stack a list of ip.Query into per-ciphertext [B, polys, W, L, N]
+        tensors; returns (stacked, n_ct, indices_count)."""
         n_ct = len(queries[0].ciphertexts)
-        self._indices_count = queries[0].indices_count
         stacked = [
             jnp.stack(
                 [
@@ -418,11 +417,23 @@ class BatchedMulPirServer:
             )
             for i in range(n_ct)
         ]
-        return self.compute_response_batch_from_stacked(stacked, evaluation_key, B, n_ct)
+        return stacked, n_ct, queries[0].indices_count
 
-    def compute_response_batch_from_stacked(self, stacked, evaluation_key, B, n_ct):
+    def compute_response_batch(self, queries: list, evaluation_key) -> list:
+        """queries: list of ip.Query (one index each); returns list of
+        ip.Response. Uses one jitted program for the whole batch via vmap
+        over the query axis."""
+        B = len(queries)
+        stacked, n_ct, indices_count = self.stack_queries(queries)
+        return self.compute_response_batch_from_stacked(
+            stacked, evaluation_key, B, n_ct, indices_count
+        )
+
+    def compute_response_batch_from_stacked(
+        self, stacked, evaluation_key, B, n_ct, indices_count: int = 1
+    ):
         """stacked: [n_ct] list of [B, polys, W, L, N] (possibly sharded)."""
-        key = (B, n_ct, self._indices_count)
+        key = (B, n_ct, indices_count)
         if key not in self._respond_jit:
 
             def run(stacked_ct_data, ek):
@@ -438,7 +449,7 @@ class BatchedMulPirServer:
                         )
                         for i in range(n_ct)
                     ]
-                    replies = self._respond_one(cts, ek, 0)
+                    replies = self._respond_one(cts, ek, indices_count)
                     return [
                         [jnp.stack([p.data for p in ct.polys]) for ct in reply]
                         for reply in replies

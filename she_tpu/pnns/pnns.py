@@ -844,14 +844,15 @@ def validate_database(
 
     config = processed.server_config.client_config
     client = Client(config)
-    sk = client.generate_secret_key()
-    ek = client.generate_evaluation_key(sk)
     server = Server(processed)
     best_q = best_r = best_d = float("inf")
     worst_err = 0.0
     budget = float("inf")
     rng = np.random.default_rng(0)
     for _ in range(max(1, trials)):
+        # fresh keys per trial, matching ProcessedDatabase.swift:112-114
+        sk = client.generate_secret_key()
+        ek = client.generate_evaluation_key(sk)
         qvecs = rng.standard_normal((n_queries, config.vector_dimension)).astype(
             np.float32
         )

@@ -129,11 +129,12 @@ class BatchedPnnsServer:
             )
         return results
 
-    def compute_response_batch(self, queries: list, evaluation_key) -> list:
-        """queries: list of pnns.Query (single-row query matrices)."""
-        B = len(queries)
-        n_matrices = len(self.packed)
-        stacked = [
+    @staticmethod
+    def stack_queries(queries: list) -> list:
+        """Stack a list of pnns.Query into per-CRT-modulus [B, 2, W, L, N]
+        tensors."""
+        n_matrices = len(queries[0].ciphertext_matrices)
+        return [
             jnp.stack(
                 [
                     jnp.stack(
@@ -144,7 +145,13 @@ class BatchedPnnsServer:
             )
             for mi in range(n_matrices)
         ]
-        return self.compute_response_batch_from_stacked(stacked, evaluation_key, B)
+
+    def compute_response_batch(self, queries: list, evaluation_key) -> list:
+        """queries: list of pnns.Query (single-row query matrices)."""
+        stacked = self.stack_queries(queries)
+        return self.compute_response_batch_from_stacked(
+            stacked, evaluation_key, len(queries)
+        )
 
     def compute_response_batch_from_stacked(self, stacked, evaluation_key, B):
         """stacked: [n_matrices] list of [B, 2, W, L, N] (possibly sharded

@@ -72,6 +72,46 @@ def test_dim0_partial_psum_matches_single_device(setup):
     assert (np.asarray(sharded) == np.asarray(single)).all()
 
 
+def test_dim0_partial_psum_w64():
+    """The w64 (2-limb) database-partitioned reduction is exact: the u32
+    psum shortcut can't carry across limbs, so the butterfly modular-add
+    path must produce bit-identical results to single-device."""
+    ep = paramsmod.from_predefined("insecure_n_8_logq_5x18_logt_5", 64)
+    ctx = bfv.get_bfv_context(ep)
+    sk = bfv.generate_secret_key(ctx, det_rng(b"s"))
+    config = ip.IndexPirConfig(
+        entry_count=16, entry_size_in_bytes=1, dimension_count=2, batch_size=1,
+        uneven_dimensions=False, key_compression=ip.PirKeyCompression.NO_COMPRESSION,
+    )
+    parameter = ip.generate_parameter(config, ctx)
+    rng = np.random.default_rng(7)
+    database = [bytes([int(v)]) for v in rng.integers(0, 256, size=16)]
+    processed = ip.MulPirServer.process(database, ctx, parameter)
+    client = ip.MulPirClient(parameter, ctx)
+    ek = client.generate_evaluation_key(sk, det_rng(b"k"))
+    ct_ctx = ctx.ciphertext_context
+    assert ct_ctx.nlimbs == 2
+    d0 = parameter.dimensions[0]
+    n_chunks = ip.chunk_count(parameter, ctx)
+    per_chunk = processed.count // n_chunks
+    chunk = jnp.asarray(
+        serving.pack_database_chunk(processed.plaintexts[:per_chunk], d0, ct_ctx)
+    )
+    query = client.generate_query([5], sk)
+    expanded = ip.expand(query.ciphertexts, parameter.expanded_query_count, ek)
+    dim0 = [bfv.ct_to_eval(c) for c in expanded[:d0]]
+    query_eval = jnp.stack(
+        [jnp.stack([c.polys[0].data, c.polys[1].data]) for c in dim0]
+    )
+    single = serving.dim0_inner_products(chunk, query_eval, ct_ctx)
+    S = 4 if d0 % 4 == 0 else (2 if d0 % 2 == 0 else 1)
+    if S == 1:
+        pytest.skip(f"d0={d0} not divisible by mesh")
+    m = meshmod.make_mesh(S, "db")
+    sharded = meshmod.dim0_partial_psum(chunk, query_eval, ct_ctx, m)
+    assert (np.asarray(sharded) == np.asarray(single)).all()
+
+
 def test_batch_parallel_pnns_response():
     """PNNS query-batch SPMD: sharded results match the unsharded server."""
     import numpy as np
