@@ -139,41 +139,113 @@ def _wrap_sub(W, x, y):
     return sub64(x, y)
 
 
+def fwd_stage(W, x, w, ws, qb, q2b, blocks: int, t: int):
+    """One forward butterfly stage over a word of [..., L, chunk] arrays,
+    chunk = blocks * 2t. w/ws: per-block roots [L, blocks, 1]; qb/q2b
+    [L, 1, 1]. Values enter/leave in [0, 4q) (Harvey lazy)."""
+    batch = x[0].shape[:-2]
+    L = x[0].shape[-2]
+    xv = _wmap(lambda a: a.reshape(batch + (L, blocks, 2, t)), x)
+    xx = _wslice(xv, (..., slice(None), 0, slice(None)))
+    yy = _wslice(xv, (..., slice(None), 1, slice(None)))
+    xx = _lazy_sub_2q(W, xx, q2b)  # [0, 2q)
+    tt = W.mul_shoup_lazy(yy, w, ws, qb)  # [0, 2q)
+    new_x = _wrap_add(W, xx, tt)  # [0, 4q)
+    new_y = _wrap_add(W, _wrap_sub(W, xx, tt), q2b)  # [0, 4q)
+    return tuple(
+        jnp.stack([nx, ny], axis=-2).reshape(batch + (L, blocks * 2 * t))
+        for nx, ny in zip(new_x, new_y)
+    )
+
+
+def inv_stage(W, x, w, ws, qb, q2b, blocks: int, t: int):
+    """One inverse butterfly stage (m > 1) over [..., L, chunk] words."""
+    batch = x[0].shape[:-2]
+    L = x[0].shape[-2]
+    xv = _wmap(lambda a: a.reshape(batch + (L, blocks, 2, t)), x)
+    xx = _wslice(xv, (..., slice(None), 0, slice(None)))
+    yy = _wslice(xv, (..., slice(None), 1, slice(None)))
+    s = _wrap_add(W, xx, yy)  # [0, 4q)
+    new_x = _lazy_sub_2q(W, s, q2b)  # [0, 2q)
+    d = _wrap_add(W, _wrap_sub(W, xx, yy), q2b)  # [0, 4q)
+    new_y = W.mul_shoup_lazy(d, w, ws, qb)  # [0, 2q)
+    return tuple(
+        jnp.stack([nx, ny], axis=-2).reshape(batch + (L, blocks * 2 * t))
+        for nx, ny in zip(new_x, new_y)
+    )
+
+
+def inv_final_stage(W, x, nb, nbs, nwb, nwbs, qb, q2b, t: int):
+    """Final inverse stage (m=1): folds n^-1 (x half) and n^-1*w^-1 (y half)
+    (reference inverseDegreeRootOfUnity, PolyRq+Ntt.swift:160-169,407-430).
+    Output fully reduced in [0, q)."""
+    batch = x[0].shape[:-2]
+    L = x[0].shape[-2]
+    xv = _wmap(lambda a: a.reshape(batch + (L, 1, 2, t)), x)
+    xx = _wslice(xv, (..., slice(None), 0, slice(None)))
+    yy = _wslice(xv, (..., slice(None), 1, slice(None)))
+    s = _wrap_add(W, xx, yy)  # [0, 4q)
+    d = _wrap_add(W, _wrap_sub(W, xx, yy), q2b)  # [0, 4q)
+    new_x = W.mul_shoup(s, nb, nbs, qb)  # [0, q)
+    new_y = W.mul_shoup(d, nwb, nwbs, qb)  # [0, q)
+    return tuple(
+        jnp.stack([nx, ny], axis=-2).reshape(batch + (L, 2 * t))
+        for nx, ny in zip(new_x, new_y)
+    )
+
+
+def forward_ntt_arrays(x, n: int, W, q, q2, roots, roots_sh):
+    """Full forward NTT with explicit device table arrays (words of [L, 1]
+    scalars and [L, N] roots). Used by forward_ntt and by the limb-sharded
+    path (parallel/sharded.py), where the tables are shard_map operands."""
+    log2n = nt.log2_exact(n)
+    qb = _wmap(lambda a: a[:, :, None], q)  # [L, 1, 1]
+    q2b = _wmap(lambda a: a[:, :, None], q2)
+    for log2m in range(log2n):
+        m = 1 << log2m
+        t = n >> (log2m + 1)
+        w = _wmap(lambda a: a[:, m : 2 * m, None], roots)  # [L, m, 1]
+        ws = _wmap(lambda a: a[:, m : 2 * m, None], roots_sh)
+        x = fwd_stage(W, x, w, ws, qb, q2b, m, t)
+    return W.reduce_4q(x, q)
+
+
+def inverse_ntt_arrays(x, n: int, W, q, q2, iroots, iroots_sh, ninv, ninv_sh, ninvw, ninvw_sh):
+    """Full inverse NTT with explicit device table arrays."""
+    log2n = nt.log2_exact(n)
+    qb = _wmap(lambda a: a[:, :, None], q)
+    q2b = _wmap(lambda a: a[:, :, None], q2)
+    for log2m in reversed(range(log2n)):
+        m = 1 << log2m
+        t = n >> (log2m + 1)
+        if m > 1:
+            w = _wmap(lambda a: a[:, m : 2 * m, None], iroots)
+            ws = _wmap(lambda a: a[:, m : 2 * m, None], iroots_sh)
+            x = inv_stage(W, x, w, ws, qb, q2b, m, t)
+        else:
+            nb = _wmap(lambda a: a[:, :, None], ninv)
+            nbs = _wmap(lambda a: a[:, :, None], ninv_sh)
+            nwb = _wmap(lambda a: a[:, :, None], ninvw)
+            nwbs = _wmap(lambda a: a[:, :, None], ninvw_sh)
+            x = inv_final_stage(W, x, nb, nbs, nwb, nwbs, qb, q2b, t)
+    return x
+
+
 def forward_ntt(x, tables: NttTables):
     """x: word of [..., L, N] arrays in [0, q) -> eval form in [0, q)."""
     from . import ntt_pallas
 
     if ntt_pallas.use_pallas(tables):
         return ntt_pallas.forward_ntt(x, tables)
-    W = tables.word
-    n = tables.degree
-    log2n = nt.log2_exact(n)
-    q = wordmod.as_word(jnp.asarray(tables.q))  # [L, 1]
-    q2 = wordmod.as_word(jnp.asarray(tables.q2))
-    roots = wordmod.as_word(jnp.asarray(tables.roots))
-    roots_sh = wordmod.as_word(jnp.asarray(tables.roots_shoup))
-
-    batch = x[0].shape[:-2]
-    L = x[0].shape[-2]
-    for log2m in range(log2n):
-        m = 1 << log2m
-        t = n >> (log2m + 1)
-        xv = _wmap(lambda a: a.reshape(batch + (L, m, 2, t)), x)
-        xx = _wslice(xv, (..., slice(None), 0, slice(None)))
-        yy = _wslice(xv, (..., slice(None), 1, slice(None)))
-        w = _wmap(lambda a: a[:, m : 2 * m, None], roots)  # [L, m, 1]
-        ws = _wmap(lambda a: a[:, m : 2 * m, None], roots_sh)
-        qb = _wmap(lambda a: a[:, :, None], q)  # [L, 1, 1]
-        q2b = _wmap(lambda a: a[:, :, None], q2)
-        xx = _lazy_sub_2q(W, xx, q2b)  # [0, 2q)
-        tt = W.mul_shoup_lazy(yy, w, ws, qb)  # [0, 2q)
-        new_x = _wrap_add(W, xx, tt)  # [0, 4q)
-        new_y = _wrap_add(W, _wrap_sub(W, xx, tt), q2b)  # [0, 4q)
-        x = tuple(
-            jnp.stack([nx, ny], axis=-2).reshape(batch + (L, n))
-            for nx, ny in zip(new_x, new_y)
-        )
-    return W.reduce_4q(x, q)
+    return forward_ntt_arrays(
+        x,
+        tables.degree,
+        tables.word,
+        wordmod.as_word(jnp.asarray(tables.q)),
+        wordmod.as_word(jnp.asarray(tables.q2)),
+        wordmod.as_word(jnp.asarray(tables.roots)),
+        wordmod.as_word(jnp.asarray(tables.roots_shoup)),
+    )
 
 
 def inverse_ntt(x, tables: NttTables):
@@ -182,46 +254,16 @@ def inverse_ntt(x, tables: NttTables):
 
     if ntt_pallas.use_pallas(tables):
         return ntt_pallas.inverse_ntt(x, tables)
-    W = tables.word
-    n = tables.degree
-    log2n = nt.log2_exact(n)
-    q = wordmod.as_word(jnp.asarray(tables.q))
-    q2 = wordmod.as_word(jnp.asarray(tables.q2))
-    iroots = wordmod.as_word(jnp.asarray(tables.inv_roots))
-    iroots_sh = wordmod.as_word(jnp.asarray(tables.inv_roots_shoup))
-
-    batch = x[0].shape[:-2]
-    L = x[0].shape[-2]
-    for log2m in reversed(range(log2n)):
-        m = 1 << log2m
-        t = n >> (log2m + 1)
-        xv = _wmap(lambda a: a.reshape(batch + (L, m, 2, t)), x)
-        xx = _wslice(xv, (..., slice(None), 0, slice(None)))
-        yy = _wslice(xv, (..., slice(None), 1, slice(None)))
-        qb = _wmap(lambda a: a[:, :, None], q)
-        q2b = _wmap(lambda a: a[:, :, None], q2)
-        if m > 1:
-            w = _wmap(lambda a: a[:, m : 2 * m, None], iroots)
-            ws = _wmap(lambda a: a[:, m : 2 * m, None], iroots_sh)
-            s = _wrap_add(W, xx, yy)  # [0, 4q)
-            new_x = _lazy_sub_2q(W, s, q2b)  # [0, 2q)
-            d = _wrap_add(W, _wrap_sub(W, xx, yy), q2b)  # [0, 4q)
-            new_y = W.mul_shoup_lazy(d, w, ws, qb)  # [0, 2q)
-        else:
-            ninv = wordmod.as_word(jnp.asarray(tables.n_inv))
-            ninv_sh = wordmod.as_word(jnp.asarray(tables.n_inv_shoup))
-            ninvw = wordmod.as_word(jnp.asarray(tables.n_inv_w))
-            ninvw_sh = wordmod.as_word(jnp.asarray(tables.n_inv_w_shoup))
-            nb = _wmap(lambda a: a[:, :, None], ninv)
-            nbs = _wmap(lambda a: a[:, :, None], ninv_sh)
-            nwb = _wmap(lambda a: a[:, :, None], ninvw)
-            nwbs = _wmap(lambda a: a[:, :, None], ninvw_sh)
-            s = _wrap_add(W, xx, yy)  # [0, 4q)
-            d = _wrap_add(W, _wrap_sub(W, xx, yy), q2b)  # [0, 4q)
-            new_x = W.mul_shoup(s, nb, nbs, qb)  # [0, q)
-            new_y = W.mul_shoup(d, nwb, nwbs, qb)  # [0, q)
-        x = tuple(
-            jnp.stack([nx, ny], axis=-2).reshape(batch + (L, n))
-            for nx, ny in zip(new_x, new_y)
-        )
-    return x
+    return inverse_ntt_arrays(
+        x,
+        tables.degree,
+        tables.word,
+        wordmod.as_word(jnp.asarray(tables.q)),
+        wordmod.as_word(jnp.asarray(tables.q2)),
+        wordmod.as_word(jnp.asarray(tables.inv_roots)),
+        wordmod.as_word(jnp.asarray(tables.inv_roots_shoup)),
+        wordmod.as_word(jnp.asarray(tables.n_inv)),
+        wordmod.as_word(jnp.asarray(tables.n_inv_shoup)),
+        wordmod.as_word(jnp.asarray(tables.n_inv_w)),
+        wordmod.as_word(jnp.asarray(tables.n_inv_w_shoup)),
+    )
