@@ -128,9 +128,42 @@ class BfvContext:
 @dataclass
 class SecretKey:
     """Ternary secret stored in Eval over the secret-key context
-    (reference Bfv+Keys.swift:20-26)."""
+    (reference Bfv+Keys.swift:20-26).
+
+    Lifecycle: the reference zeroizes key material on deinit
+    (Keys.swift:19-50, Zeroization.swift:1-40). Here `zeroize()` scrubs
+    host numpy buffers in place and deletes device (jax) buffers — freeing
+    the HBM copy; any use after that raises. Also usable as a context
+    manager (`with generate_secret_key(ctx) as sk: ...`), and zeroized as
+    a best-effort fallback when garbage-collected."""
 
     poly: PolyRq  # eval, [W, L_all, N]
+
+    def zeroize(self) -> None:
+        data = self.poly.data
+        if isinstance(data, np.ndarray):
+            if data.flags.writeable and data.dtype != object:
+                from ..utils.zeroize import zeroize as _z
+
+                _z(np.ascontiguousarray(data) if not data.flags.c_contiguous else data)
+        else:
+            try:
+                data.delete()
+            except Exception:
+                pass
+
+    def __enter__(self) -> "SecretKey":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.zeroize()
+        return False
+
+    def __del__(self):  # best-effort deinit scrub, as in the reference
+        try:
+            self.zeroize()
+        except Exception:
+            pass
 
 
 @dataclass

@@ -288,6 +288,207 @@ def _add_mod_rows(a, b, ctx):
 
 
 # ---------------------------------------------------------------------------
+# Staged serving pipeline: small cached jits instead of one fused program
+# ---------------------------------------------------------------------------
+#
+# The fully fused w64 (2-limb) serving graph makes XLA's backend go
+# superlinear (hours on XLA:CPU even at N=8; minutes on XLA:TPU). The
+# staged pipeline keeps compile time linear by splitting the response
+# computation at its natural stage boundaries — one jit per expansion
+# level, one per (dim0, chunk shape), one per higher-dim group size, one
+# finalizer — each a modest graph, cached and reused across chunks,
+# groups, and batches. Stage boundaries match the reference's phases
+# (PirUtil.swift:490-568): expand -> dim-0 ct·pt inner products ->
+# higher-dim ct·ct inner products + relinearize -> modSwitch.
+
+
+class _StagedResponder:
+    """Per-server cache of jitted stage programs (keyed by stage identity;
+    jax.jit's own cache handles shape specialization within a key)."""
+
+    def __init__(self, server: "BatchedMulPirServer"):
+        self.server = server
+        self._jits: dict = {}
+
+    def _stage(self, key, make):
+        if key not in self._jits:
+            self._jits[key] = jax.jit(make())
+        return self._jits[key]
+
+    # -- expansion ---------------------------------------------------------
+
+    def _make_level_fn(self, element: int, apply_count: int, shift: int):
+        def one(ct, ek):
+            c1 = ct
+            for _ in range(apply_count):
+                c1 = bfv.apply_galois(c1, element, ek)
+            p0 = bfv.ct_add(c1, ct)
+            p1 = bfv.multiply_power_of_x(bfv.ct_sub(ct, c1), -shift)
+            return p0, p1
+
+        def level(parents, ek):  # parents: [nodes, B] leading axes
+            return jax.vmap(
+                jax.vmap(one, in_axes=(0, None)), in_axes=(0, None)
+            )(parents, ek)
+
+        return lambda: level
+
+    def _expand_staged(self, ct, output_count: int, evaluation_key) -> list:
+        """ct: [B]-batched Ciphertext pytree. Same tree/math as
+        _expand_one_batched, one cached jit per level signature."""
+        context = self.server.context
+        if output_count == 1:
+            return [ct]
+        plan = build_expansion_plan(output_count)
+        log2n = nt.log2_exact(context.degree)
+        slots: list = [None] * plan.slot_count
+        slots[0] = ct
+        for level_index, level in enumerate(plan.levels):
+            if not level:
+                continue
+            log_step = level_index + 1
+            shift = 1 << (log_step - 1)
+            target_element = (1 << (log2n - log_step + 1)) + 1
+            available = [
+                e for e in evaluation_key.galois_key.keys if e <= target_element
+            ]
+            if not available:
+                raise errors.MissingGaloisKey(str(target_element))
+            element = max(available)
+            apply_count = 1 << (
+                ser.floor_log2(target_element - 1) - ser.floor_log2(element - 1)
+            )
+            parents = _stack_cts([slots[p] for p, _, _ in level])
+            step = self._stage(
+                ("expand", element, apply_count, shift),
+                self._make_level_fn(element, apply_count, shift),
+            )
+            p0, p1 = step(parents, evaluation_key)
+            p0_list = _unstack_cts(p0, len(level))
+            p1_list = _unstack_cts(p1, len(level))
+            for (parent, c0_slot, c1_slot), a, b in zip(level, p0_list, p1_list):
+                slots[c0_slot] = a
+                slots[c1_slot] = b
+        outs = [slots[slot] for slot, _ in plan.leaves]
+        doubled_idx = [i for i, (_, d) in enumerate(plan.leaves) if d]
+        if doubled_idx:
+            dbl = self._stage(
+                ("double",),
+                lambda: jax.vmap(jax.vmap(lambda c: bfv.ct_add(c, c))),
+            )
+            doubled = dbl(_stack_cts([outs[i] for i in doubled_idx]))
+            for j, i in enumerate(doubled_idx):
+                outs[i] = jax.tree_util.tree_map(lambda x, j=j: x[j], doubled)
+        return outs
+
+    # -- dim-0 ct·pt inner products -----------------------------------------
+
+    def _make_dim0_fn(self):
+        server = self.server
+        ct_ctx = server.ct_ctx
+
+        def one(dim0_cts, chunk):
+            dim0 = [bfv.ct_to_eval(c) for c in dim0_cts]
+            query_eval = jnp.stack(
+                [jnp.stack([c.polys[0].data, c.polys[1].data]) for c in dim0]
+            )  # [d0, 2, W, L, N]
+            results = dim0_inner_products(chunk, query_eval, ct_ctx)
+            C = results.shape[0]
+            return [
+                bfv.Ciphertext(
+                    server.context,
+                    [
+                        polymod.inverse_ntt(PolyRq(results[c, p], ct_ctx, EVAL))
+                        for p in range(2)
+                    ],
+                )
+                for c in range(C)
+            ]
+
+        return lambda: (
+            lambda cts, chunk: jax.vmap(one, in_axes=(0, None))(cts, chunk)
+        )
+
+    # -- higher dims + finalize ----------------------------------------------
+
+    @staticmethod
+    def _make_group_fn():
+        def one(v0, v1, ek):
+            prod = bfv.inner_product_ct_ct(v0, v1)
+            return bfv.relinearize(prod, ek)
+
+        return lambda: jax.vmap(one, in_axes=(0, 0, None))
+
+    @staticmethod
+    def _make_finalize_fn():
+        def one(ct):
+            out = bfv.ct_to_coeff(bfv.mod_switch_down_to_single(ct))
+            return jnp.stack([p.data for p in out.polys])
+
+        return lambda: jax.vmap(one)
+
+    # -- driver ---------------------------------------------------------------
+
+    def respond(self, stacked, evaluation_key, B, n_ct, indices_count: int):
+        """Same output structure as the fused `run`: per query index, a list
+        of per-chunk [B, polys, W, L, N] arrays."""
+        server = self.server
+        parameter = server.parameter
+        ct_ctx = server.ct_ctx
+        cts = [
+            bfv.Ciphertext(
+                server.context,
+                [
+                    PolyRq(stacked[i][:, p], ct_ctx, COEFF)
+                    for p in range(stacked[i].shape[1])
+                ],
+            )
+            for i in range(n_ct)
+        ]
+        degree = server.context.degree
+        expanded_all: list = []
+        remaining = parameter.expanded_query_count * indices_count
+        for ct in cts:
+            n = min(remaining, degree)
+            expanded_all.extend(self._expand_staged(ct, n, evaluation_key))
+            remaining -= n
+        per_query = parameter.expanded_query_count
+        out = []
+        for qi in range(indices_count):
+            expanded = expanded_all[qi * per_query : (qi + 1) * per_query]
+            db_index = qi if len(server.chunks) > 1 else 0
+            out.append(self._respond_expanded(expanded, evaluation_key, db_index))
+        return out
+
+    def _respond_expanded(self, expanded: list, evaluation_key, db_index: int):
+        server = self.server
+        parameter = server.parameter
+        d0 = parameter.dimensions[0]
+        dim0_cts = expanded[:d0]
+        rest = expanded[d0:]
+        dim0_fn = self._stage(("dim0", d0), self._make_dim0_fn())
+        group_fns = {
+            dim_size: self._stage(("dims", dim_size), self._make_group_fn())
+            for dim_size in parameter.dimensions[1:]
+        }
+        fin = self._stage(("finalize",), self._make_finalize_fn())
+        reply = []
+        for chunk in server.chunks[db_index]:
+            columns = dim0_fn(dim0_cts, chunk)
+            query_start = 0
+            for dim_size in parameter.dimensions[1:]:
+                new_cols = []
+                for start in range(0, len(columns), dim_size):
+                    v0 = rest[query_start : query_start + dim_size]
+                    v1 = columns[start : start + dim_size]
+                    new_cols.append(group_fns[dim_size](v0, v1, evaluation_key))
+                columns = new_cols
+                query_start += dim_size
+            reply.append(fin(columns[0]))
+        return reply
+
+
+# ---------------------------------------------------------------------------
 # Batched server
 # ---------------------------------------------------------------------------
 
@@ -344,6 +545,7 @@ class BatchedMulPirServer:
             ]
             self.chunks.append(packed)
         self._respond_jit = {}
+        self._staged = None
 
     def _respond_one(self, query_cts: list, evaluation_key, indices_count: int):
         """Traced single-query response (same math as MulPirServer)."""
@@ -433,6 +635,31 @@ class BatchedMulPirServer:
         self, stacked, evaluation_key, B, n_ct, indices_count: int = 1
     ):
         """stacked: [n_ct] list of [B, polys, W, L, N] (possibly sharded)."""
+        # The 2-limb (w64) path runs as a pipeline of small cached jits
+        # (per-expansion-level / dim-0 / per-dim-group / finalize programs)
+        # so XLA compile time stays linear in pipeline depth — the fully
+        # fused u128 graph is superlinear to compile (hours on XLA:CPU).
+        # SHE_TPU_W64_FUSED_SERVING=1 opts w64 back into the single fused
+        # program; SHE_TPU_STAGED_SERVING=1 opts w32 into the staged one.
+        out = self._respond_arrays(stacked, evaluation_key, B, n_ct, indices_count)
+        return self._assemble_responses(out, B)
+
+    def _respond_arrays(
+        self, stacked, evaluation_key, B, n_ct, indices_count: int = 1
+    ):
+        """Raw response arrays (per query index, per chunk,
+        [B, polys, W, L, N]) without host assembly — multi-host callers
+        gather the globally sharded outputs themselves."""
+        staged = (
+            self.ct_ctx.nlimbs == 2
+            and os.environ.get("SHE_TPU_W64_FUSED_SERVING") != "1"
+        ) or os.environ.get("SHE_TPU_STAGED_SERVING") == "1"
+        if staged:
+            if self._staged is None:
+                self._staged = _StagedResponder(self)
+            return self._staged.respond(
+                stacked, evaluation_key, B, n_ct, indices_count
+            )
         key = (B, n_ct, indices_count)
         if key not in self._respond_jit:
 
@@ -457,22 +684,14 @@ class BatchedMulPirServer:
 
                 return jax.vmap(one)(stacked_ct_data)
 
-            # One fused program for the w32 fast path. The 2-limb (w64)
-            # pipeline stays un-jitted by default: XLA:CPU's LLVM backend
-            # goes superlinear on the fully-fused u128 MAC/reduce graph
-            # (hours for even tiny shapes; XLA:TPU takes ~2.4 min at N=8),
-            # while eager vmap compiles each primitive once, stays batched,
-            # and is still served from the op cache (same reason
-            # scaleAndRound/BEHZ are w32-conditional jits in bfv.py).
-            # SHE_TPU_W64_FUSED_SERVING=1 opts into the fused program for
-            # long-running TPU deployments where the one-time (disk-cached)
-            # compile amortizes.
-            fused = (
-                self.ct_ctx.nlimbs == 1
-                or os.environ.get("SHE_TPU_W64_FUSED_SERVING") == "1"
-            )
-            self._respond_jit[key] = jax.jit(run) if fused else run
-        out = self._respond_jit[key](stacked, evaluation_key)
+            # One fused program: w32 fast path, or w64 with
+            # SHE_TPU_W64_FUSED_SERVING=1 (long-running TPU deployments
+            # where the one-time disk-cached compile amortizes).
+            self._respond_jit[key] = jax.jit(run)
+        return self._respond_jit[key](stacked, evaluation_key)
+
+    def _assemble_responses(self, out, B: int) -> list:
+        """out: per query index, per chunk, [B, polys, W, L, N] arrays."""
         responses = []
         single_ctx = self.ct_ctx.get_context(1)
         for b in range(B):

@@ -44,26 +44,38 @@ class NistCtrDrbg:
             entropy = os.urandom(_SEEDLEN)
         if len(entropy) != _SEEDLEN:
             raise ValueError(f"entropy must be {_SEEDLEN} bytes")
-        self.key = b"\x00" * _KEYLEN
+        # Key state lives in a bytearray so zeroize() can scrub it in place
+        # (reference zeroizes DRBG state on deinit, Zeroization.swift:1-40).
+        self.key = bytearray(_KEYLEN)
         self.v = 0
         self.reseed_counter = 1
         self._update(entropy)
 
     def _update(self, provided: bytes) -> None:
         assert len(provided) == _SEEDLEN
-        stream = _aes_ctr_keystream(self.key, (self.v + 1) & _MASK128, _SEEDLEN)
-        xored = bytes(a ^ b for a, b in zip(stream, provided))
-        self.key = xored[:_KEYLEN]
-        self.v = int.from_bytes(xored[_KEYLEN:], "big")
+        stream = _aes_ctr_keystream(bytes(self.key), (self.v + 1) & _MASK128, _SEEDLEN)
+        for i in range(_KEYLEN):
+            self.key[i] = stream[i] ^ provided[i]
+        self.v = int.from_bytes(
+            bytes(a ^ b for a, b in zip(stream[_KEYLEN:], provided[_KEYLEN:])), "big"
+        )
 
     def generate(self, count: int) -> bytes:
         assert self.reseed_counter <= self.RESEED_INTERVAL
         assert count <= self.MAX_BYTES_PER_REQUEST
-        out = _aes_ctr_keystream(self.key, (self.v + 1) & _MASK128, count)
+        out = _aes_ctr_keystream(bytes(self.key), (self.v + 1) & _MASK128, count)
         self.v = (self.v + (count + _BLOCK - 1) // _BLOCK) & _MASK128
         self._update(b"\x00" * _SEEDLEN)
         self.reseed_counter += 1
         return out
+
+    def zeroize(self) -> None:
+        """Scrub the DRBG key state (reference Keys.swift:19-50 lifecycle)."""
+        from ..utils.zeroize import zeroize
+
+        zeroize(self.key)
+        self.v = 0
+        self.reseed_counter = self.RESEED_INTERVAL + 1  # refuse further use
 
 
 class BufferedRng:
@@ -78,7 +90,7 @@ class BufferedRng:
 
     def __init__(self, rng: NistCtrDrbg):
         self.rng = rng
-        self._buf = b""
+        self._buf = bytearray()
         self._off = 0
 
     def random_bytes(self, n: int) -> bytes:
@@ -86,7 +98,7 @@ class BufferedRng:
         need = n
         while need > 0:
             if self._off == len(self._buf):
-                self._buf = self.rng.generate(self.BUFFER_BYTES)
+                self._buf = bytearray(self.rng.generate(self.BUFFER_BYTES))
                 self._off = 0
             take = min(need, len(self._buf) - self._off)
             chunks.append(self._buf[self._off : self._off + take])
@@ -99,6 +111,15 @@ class BufferedRng:
 
     def next_u32(self) -> int:
         return int.from_bytes(self.random_bytes(4), "little")
+
+    def zeroize(self) -> None:
+        """Scrub the buffered keystream and the underlying DRBG state."""
+        from ..utils.zeroize import zeroize
+
+        if self._buf:
+            zeroize(self._buf)
+        self._off = len(self._buf)
+        self.rng.zeroize()
 
 
 def nist_aes128_ctr(seed: bytes) -> BufferedRng:
