@@ -233,8 +233,12 @@ def inverse_ntt_arrays(x, n: int, W, q, q2, iroots, iroots_sh, ninv, ninv_sh, ni
 
 def forward_ntt(x, tables: NttTables):
     """x: word of [..., L, N] arrays in [0, q) -> eval form in [0, q)."""
-    from . import ntt_pallas
+    from . import ntt_mxu, ntt_pallas
 
+    if ntt_mxu.use_mxu(tables):
+        return ntt_mxu.forward_ntt(
+            x, ntt_mxu.tables_for(tables.moduli, tables.degree, tables.nlimbs)
+        )
     if ntt_pallas.use_pallas(tables):
         return ntt_pallas.forward_ntt(x, tables)
     return forward_ntt_arrays(
@@ -250,8 +254,12 @@ def forward_ntt(x, tables: NttTables):
 
 def inverse_ntt(x, tables: NttTables):
     """x: word of [..., L, N] arrays in [0, q) -> coeff form in [0, q)."""
-    from . import ntt_pallas
+    from . import ntt_mxu, ntt_pallas
 
+    if ntt_mxu.use_mxu(tables):
+        return ntt_mxu.inverse_ntt(
+            x, ntt_mxu.tables_for(tables.moduli, tables.degree, tables.nlimbs)
+        )
     if ntt_pallas.use_pallas(tables):
         return ntt_pallas.inverse_ntt(x, tables)
     return inverse_ntt_arrays(

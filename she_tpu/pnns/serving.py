@@ -10,7 +10,9 @@ multiply + lazy double-width reduction — the same kernel shape as the PIR
 dim-0 MAC. Rotations (baby-step prep and giant-step accumulation) are
 batched over the query axis.
 
-w32 fast path; one jitted program per (config, batch size).
+Both scalar widths are served: w32 as one fused jit per (config, batch);
+the 2-limb w64 path as eager vmap by default (SHE_TPU_W64_FUSED_SERVING=1
+opts into the fused program, as in PIR serving).
 """
 
 from __future__ import annotations
@@ -19,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .. import errors
+
 from ..bfv import bfv
 from ..core import poly as polymod
 from ..core.poly import COEFF, EVAL, PolyRq
@@ -28,42 +30,71 @@ from . import pnns
 
 
 def pack_diagonal_matrix(matrix: "pnns.PlaintextMatrix", ct_ctx) -> np.ndarray:
-    """Diagonal-packed PlaintextMatrix (Eval) -> dense [G, J, R, L, N] u32
-    tensor (w32). Missing baby steps in the last giant step are zeros."""
-    assert ct_ctx.nlimbs == 1
+    """Diagonal-packed PlaintextMatrix (Eval) -> dense [G, J, R, W, L, N]
+    u32 limb tensor. Missing baby steps in the last giant step are zeros."""
     bsgs = matrix.packing.bsgs
     G, J = bsgs.giant_step, bsgs.baby_step
     n = ct_ctx.degree
     R = -(-matrix.row_count // n)
+    W = ct_ctx.nlimbs
     L = len(ct_ctx.moduli)
-    out = np.zeros((G, J, R, L, n), dtype=np.uint32)
+    out = np.zeros((G, J, R, W, L, n), dtype=np.uint32)
     for g in range(G):
         pt_count = min(J, bsgs.vector_dimension - J * g)
         for j in range(pt_count):
             for r in range(R):
                 idx = R * (j + J * g) + r
                 pt = matrix.plaintexts[idx]
-                out[g, j, r] = np.asarray(pt.poly.data)[0]
+                out[g, j, r] = np.asarray(pt.poly.data)
     return out
 
 
 def bsgs_inner_products(db, rotated_eval, ct_ctx):
-    """db [G, J, R, L, N]; rotated_eval [J, 2, L, N] (eval query rotations)
-    -> [G, R, 2, L, N] reduced ct-pt inner products over the J axis."""
-    G, J, R = db.shape[0], db.shape[1], db.shape[2]
+    """db [G, J, R, W, L, N]; rotated_eval [J, 2, W, L, N] (eval query
+    rotations) -> [G, R, 2, W, L, N] reduced ct-pt inner products over the
+    J axis (both scalar widths, same lazy schedules as the PIR dim-0 MAC)."""
+    if ct_ctx.nlimbs == 2:
+        return _bsgs_inner_products_w64(db, rotated_eval, ct_ctx)
+    assert ct_ctx.nlimbs == 1
+    J = db.shape[1]
     cap = max(1, ct_ctx.max_lazy_product_accumulation_count() // 2)
     total = None
     for start in range(0, J, cap):
-        acc_lo, acc_hi = _pt_mul(db[:, start], rotated_eval[start])
+        acc_lo, acc_hi = _pt_mul(db[:, start, :, 0], rotated_eval[start, :, 0])
         for j in range(start + 1, min(start + cap, J)):
-            lo_j, hi_j = _pt_mul(db[:, j], rotated_eval[j])
+            lo_j, hi_j = _pt_mul(db[:, j, :, 0], rotated_eval[j, :, 0])
             s = acc_lo + lo_j
             carry = (s < acc_lo).astype(jnp.uint32)
             acc_lo = s
             acc_hi = acc_hi + hi_j + carry
         red = pir_serving._reduce_u64_rows(acc_lo, acc_hi, ct_ctx)
         total = red if total is None else pir_serving._add_mod_rows(total, red, ct_ctx)
-    return total
+    return total[:, :, :, None]  # restore W axis
+
+
+def _bsgs_inner_products_w64(db, rotated_eval, ct_ctx):
+    """2-limb variant: 128-bit lazy MAC limbs with periodic exact reduction
+    (same schedule as the PIR _dim0_inner_products_w64)."""
+    from ..ops import limb
+    from ..ops import word as wordmod
+
+    J = db.shape[1]
+    cap = max(1, ct_ctx.max_lazy_product_accumulation_count() // 2)
+    total = None  # word tuple of [G, R, 2, L, N]
+    for start in range(0, J, cap):
+        acc = None
+        for j in range(start, min(start + cap, J)):
+            dw = (db[:, j, :, None, 0], db[:, j, :, None, 1])  # [G, R, 1, L, N]
+            qw = (rotated_eval[j, :, 0], rotated_eval[j, :, 1])  # [2, L, N]
+            term = limb.mul64(dw, qw)
+            acc = term if acc is None else limb.add128(acc, term)
+        red = pir_serving._reduce_u128_rows(acc, ct_ctx)
+        total = (
+            red
+            if total is None
+            else wordmod.W64.add_mod(total, red, pir_serving._q_word_cols(ct_ctx))
+        )
+    return jnp.stack(total, axis=3)  # [G, R, 2, W=2, L, N]
 
 
 def _pt_mul(db_gj, q_j):
@@ -81,9 +112,6 @@ class BatchedPnnsServer:
         self.database = database
         self.config = database.server_config
         self.contexts = database.contexts
-        for ctx in self.contexts:
-            if ctx.ciphertext_context.nlimbs != 1:
-                raise errors.PnnsError("BatchedPnnsServer requires w32 parameters")
         self.packed = [
             jnp.asarray(pack_diagonal_matrix(m, ctx.ciphertext_context))
             for m, ctx in zip(database.plaintext_matrices, self.contexts)
@@ -104,10 +132,10 @@ class BatchedPnnsServer:
             if step != J - 1:
                 state = bfv.rotate_columns(state, -1, evaluation_key)
         rotated_eval = jnp.stack(
-            [jnp.stack([c.polys[0].data[0], c.polys[1].data[0]]) for c in rotated]
-        )  # [J, 2, L, N]
+            [jnp.stack([c.polys[0].data, c.polys[1].data]) for c in rotated]
+        )  # [J, 2, W, L, N]
         prods = bsgs_inner_products(self.packed[mi], rotated_eval, ctx.ciphertext_context)
-        # prods [G, R, 2, L, N] -> per (g, r) canonical cts, then
+        # prods [G, R, 2, W, L, N] -> per (g, r) canonical cts, then
         # rotate-and-sum over g with step -babyStep
         G, R = prods.shape[0], prods.shape[1]
         results = []
@@ -117,7 +145,7 @@ class BatchedPnnsServer:
                     ctx,
                     [
                         polymod.inverse_ntt(
-                            PolyRq(prods[g, r, p][None], ctx.ciphertext_context, EVAL)
+                            PolyRq(prods[g, r, p], ctx.ciphertext_context, EVAL)
                         )
                         for p in range(2)
                     ],
@@ -155,9 +183,19 @@ class BatchedPnnsServer:
 
     def compute_response_batch_from_stacked(self, stacked, evaluation_key, B):
         """stacked: [n_matrices] list of [B, 2, W, L, N] (possibly sharded
-        over a mesh axis on the query-batch dimension)."""
+        over a mesh axis on the query-batch dimension).
+
+        The 2-limb (w64) batch runs as eager vmap by default — XLA:CPU's
+        backend is superlinear on the fully-fused u128 graph (as in PIR
+        serving); SHE_TPU_W64_FUSED_SERVING=1 opts into the single fused
+        jit for long-running TPU deployments where the one-time disk-cached
+        compile amortizes."""
+        import os
+
         n_matrices = len(self.packed)
-        key = (B, n_matrices)
+        w64 = any(c.ciphertext_context.nlimbs == 2 for c in self.contexts)
+        fused = (not w64) or os.environ.get("SHE_TPU_W64_FUSED_SERVING") == "1"
+        key = (B, n_matrices, fused)
         if key not in self._jit:
 
             def run(stacked, ek):
@@ -185,7 +223,7 @@ class BatchedPnnsServer:
 
                 return jax.vmap(one)(stacked)
 
-            self._jit[key] = jax.jit(run)
+            self._jit[key] = jax.jit(run) if fused else run
         out = self._jit[key](stacked, evaluation_key)
         responses = []
         for b in range(B):

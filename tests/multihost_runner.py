@@ -24,6 +24,9 @@ def main(pid: int, nprocs: int, port: str) -> None:
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=nprocs,
         process_id=pid,
+        # compiles contend for the small CI host's cores, so processes can
+        # skew past the default 300 s shutdown barrier deadline
+        shutdown_timeout_seconds=1200,
     )
     import numpy as np
     import jax.numpy as jnp
@@ -123,6 +126,10 @@ def main(pid: int, nprocs: int, port: str) -> None:
 
     if pid == 0:
         print("MULTIHOST OK", flush=True)
+    # On a small shared host the processes can skew by minutes (compiles
+    # contend for cores); sync before shutdown so the coordination-service
+    # shutdown barrier (5 min deadline) sees both tasks arrive together.
+    mhu.sync_global_devices("she_tpu_multihost_done")
     jax.distributed.shutdown()
 
 
