@@ -27,6 +27,19 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def fence(device_array):
+    """Force execution before stopping the clock.
+
+    jax.block_until_ready on the axon tunnel acks the enqueue without
+    waiting for device execution (measured: a 50-deep dependent chain of
+    100 MB adds "completes" in 1.4 ms and the result materializes 88 s
+    later), so every timing window ends with a small host fetch, which
+    cannot return until the whole dependency chain has run. The fetched
+    slice is kept tiny because the tunnel's device->host path moves only
+    ~10-20 MB/s."""
+    return np.asarray(device_array[..., :2])
+
+
 def bench_ntt():
     """Secondary: forward NTT transforms/sec at N=8192, 3x55-bit moduli."""
     import jax
@@ -46,13 +59,25 @@ def bench_ntt():
         rows[:, i, :] = rng.integers(0, q, size=(batch, degree)).astype(object)
     data = wordmod.pack(rows, nlimbs)
 
+    n_iters = 10
+
     @jax.jit
     def fwd(x):
         w = tuple(x[i] for i in range(nlimbs))
         return jnp.stack(nttmod.forward_ntt(w, tables))
 
+    @jax.jit
+    def fwd_many(x):
+        # n_iters dependent transforms inside ONE program: per-dispatch
+        # tunnel overhead amortizes and the chain cannot be reordered away
+        def body(c, _):
+            w = tuple(c[i] for i in range(nlimbs))
+            return jnp.stack(nttmod.forward_ntt(w, tables)), ()
+
+        y, _ = jax.lax.scan(body, x, None, length=n_iters)
+        return y
+
     x = jnp.asarray(data)
-    fwd(x).block_until_ready()
     out = np.asarray(fwd(x))
     from she_tpu.utils import refimpl
 
@@ -60,13 +85,12 @@ def bench_ntt():
     expect = refimpl.forward_ntt([int(v) for v in rows[0, 0]], moduli[0])
     assert list(got) == expect, "TPU NTT mismatch vs host reference"
 
-    n_iters = 10
+    fence(fwd_many(x))  # warm
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(n_iters):
-            r = fwd(x)
-        r.block_until_ready()
+        r = fwd_many(x)
+        fence(r)
         best = max(best, batch * n_iters / (time.perf_counter() - t0))
     return best
 
@@ -111,7 +135,7 @@ def bench_pir(entry_count=1_000_000, entry_size=1, batch=8, n_iters=5):
 
     t0 = time.perf_counter()
     responses = server.compute_response_batch(queries, ek)
-    jax.block_until_ready(responses[0].ciphertexts[0][0].polys[0].data)
+    fence(responses[0].ciphertexts[0][0].polys[0].data)
     log(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
 
     # correctness spot check
@@ -119,13 +143,13 @@ def bench_pir(entry_count=1_000_000, entry_size=1, batch=8, n_iters=5):
     assert got[0][:entry_size] == database[indices[0]], "PIR answer mismatch"
 
     # The shared device/tunnel throughput varies run-to-run; measure several
-    # windows and report the best sustained rate.
+    # windows and report the best sustained rate (every window fenced).
     qps = 0.0
     for window in range(3):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             responses = server.compute_response_batch(queries, ek)
-        jax.block_until_ready(responses[-1].ciphertexts[0][0].polys[0].data)
+        fence(responses[-1].ciphertexts[0][0].polys[0].data)
         dt = time.perf_counter() - t0
         qps = max(qps, batch * n_iters / dt)
         log(f"PIR steady state window {window}: {batch * n_iters / dt:.2f} q/s")
@@ -174,7 +198,7 @@ def bench_pnns(db_rows=4096, dim=128, batch=16, n_iters=5):
     ]
     t0 = time.perf_counter()
     responses = server.compute_response_batch(queries, ek)
-    jax.block_until_ready(responses[0].ciphertext_matrices[0].ciphertexts[0].polys[0].data)
+    fence(responses[0].ciphertext_matrices[0].ciphertexts[0].polys[0].data)
     log(f"PNNS compile+first batch: {time.perf_counter() - t0:.1f}s")
     # correctness spot check: cosine similarity of query 0 vs its own row
     distances, _, _ = client.decrypt(responses[0], sk)
@@ -183,10 +207,135 @@ def bench_pnns(db_rows=4096, dim=128, batch=16, n_iters=5):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             responses = server.compute_response_batch(queries, ek)
-        jax.block_until_ready(responses[-1].ciphertext_matrices[0].ciphertexts[0].polys[0].data)
+        fence(responses[-1].ciphertext_matrices[0].ciphertexts[0].polys[0].data)
         qps = max(qps, batch * n_iters / (time.perf_counter() - t0))
     log(f"PNNS steady state: {qps:.2f} queries/sec (batch={batch}, {db_rows}x{dim}, best of 3)")
     return qps
+
+
+def bench_pir_w64(entry_count=1_000_000, entry_size=1, batch=8, n_iters=5):
+    """Secondary: MulPIR on the reference's w64 headline parameter set
+    (N=8192, 3x55-bit moduli — RlweBenchmark.swift:27-46), 2-limb path.
+    Runs the fused serving program (SHE_TPU_W64_FUSED_SERVING): XLA:TPU
+    compiles it in minutes and the disk cache amortizes repeats."""
+    import jax
+
+    from she_tpu import params as paramsmod
+    from she_tpu.bfv import bfv
+    from she_tpu.pir import index_pir as ip, serving
+    from she_tpu.rng.ctr_drbg import nist_aes128_ctr
+
+    os.environ["SHE_TPU_W64_FUSED_SERVING"] = "1"
+    try:
+        det = lambda t: nist_aes128_ctr((t * 32)[:32])
+        ep = paramsmod.from_predefined("n_8192_logq_3x55_logt_42", scalar_bits=64)
+        ctx = bfv.get_bfv_context(ep)
+        sk = bfv.generate_secret_key(ctx, det(b"s"))
+        config = ip.IndexPirConfig(
+            entry_count=entry_count,
+            entry_size_in_bytes=entry_size,
+            dimension_count=2,
+            batch_size=1,
+            uneven_dimensions=True,
+            key_compression=ip.PirKeyCompression.NO_COMPRESSION,
+        )
+        parameter = ip.generate_parameter(config, ctx)
+        log(f"w64 PIR dims={parameter.dimensions}, "
+            f"expandedQueryCount={parameter.expanded_query_count}")
+        rng = np.random.default_rng(0)
+        values = rng.integers(0, 256, size=entry_count, dtype=np.uint8)
+        database = [bytes([v]) * entry_size for v in values]
+        t0 = time.perf_counter()
+        processed = ip.MulPirServer.process(database, ctx, parameter)
+        log(f"w64 DB processed in {time.perf_counter() - t0:.1f}s: "
+            f"{processed.count} plaintexts")
+        client = ip.MulPirClient(parameter, ctx)
+        ek = client.generate_evaluation_key(sk, det(b"k"))
+        server = serving.BatchedMulPirServer(parameter, ctx, [processed])
+        indices = [int(rng.integers(0, entry_count)) for _ in range(batch)]
+        queries = [client.generate_query([i], sk) for i in indices]
+        t0 = time.perf_counter()
+        responses = server.compute_response_batch(queries, ek)
+        fence(responses[0].ciphertexts[0][0].polys[0].data)
+        log(f"w64 PIR compile+first batch: {time.perf_counter() - t0:.1f}s")
+        got = client.decrypt(responses[0], [indices[0]], sk)
+        assert got[0][:entry_size] == database[indices[0]], "w64 PIR mismatch"
+        qps = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                responses = server.compute_response_batch(queries, ek)
+            fence(responses[-1].ciphertexts[0][0].polys[0].data)
+            qps = max(qps, batch * n_iters / (time.perf_counter() - t0))
+        log(f"secondary: w64 MulPIR (N=8192 3x55, {entry_count} entries): "
+            f"{qps:.2f} queries/sec (batch={batch}, best of 3)")
+        return qps
+    finally:
+        os.environ.pop("SHE_TPU_W64_FUSED_SERVING", None)
+
+
+def bench_pnns_w64(db_rows=4096, dim=128, batch=8, n_iters=5):
+    """Secondary: PNNS under Bfv<UInt64> semantics — the reference runs the
+    same 27/28/28 parameter set with 64-bit scalars (PnnsBenchmark.swift:
+    22-28); here that is the 2-limb kernel path."""
+    import jax
+
+    from she_tpu import params as paramsmod
+    from she_tpu.bfv import bfv
+    from she_tpu.pnns import pnns, serving as pnns_serving
+    from she_tpu.rng.ctr_drbg import nist_aes128_ctr
+
+    os.environ["SHE_TPU_W64_FUSED_SERVING"] = "1"
+    try:
+        det = lambda t: nist_aes128_ctr((t * 32)[:32])
+        ep = paramsmod.from_predefined("n_4096_logq_27_28_28_logt_17", scalar_bits=64)
+        ctx = bfv.get_bfv_context(ep)
+        sf = pnns.max_scaling_factor(dim, [ctx.plaintext_modulus])
+        pt_dims = pnns.MatrixDimensions(db_rows, dim)
+        ek_config = pnns.matmul_evaluation_key_config(ctx, pt_dims, 1)
+        client_config = pnns.ClientConfig.create(
+            ep, sf, pnns.MatrixPacking.dense_row(), dim, ek_config
+        )
+        server_config = pnns.ServerConfig(
+            client_config,
+            pnns.MatrixPacking.diagonal(pnns.BabyStepGiantStep.create(dim)),
+        )
+        rng = np.random.default_rng(0)
+        vectors = rng.standard_normal((db_rows, dim)).astype(np.float32)
+        db = pnns.Database(
+            [pnns.DatabaseRow(i, b"", vectors[i]) for i in range(db_rows)]
+        )
+        t0 = time.perf_counter()
+        processed = pnns.process_database(db, server_config)
+        log(f"w64 PNNS DB processed in {time.perf_counter() - t0:.1f}s")
+        client = pnns.Client(client_config)
+        sk = client.generate_secret_key(det(b"s"))
+        ek = client.generate_evaluation_key(sk, det(b"k"))
+        server = pnns_serving.BatchedPnnsServer(processed)
+        queries = [
+            client.generate_query(
+                rng.standard_normal((1, dim)).astype(np.float32),
+                sk,
+                err_rng=det(bytes([i])),
+            )
+            for i in range(batch)
+        ]
+        t0 = time.perf_counter()
+        responses = server.compute_response_batch(queries, ek)
+        fence(responses[0].ciphertext_matrices[0].ciphertexts[0].polys[0].data)
+        log(f"w64 PNNS compile+first batch: {time.perf_counter() - t0:.1f}s")
+        qps = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                responses = server.compute_response_batch(queries, ek)
+            fence(responses[-1].ciphertext_matrices[0].ciphertexts[0].polys[0].data)
+            qps = max(qps, batch * n_iters / (time.perf_counter() - t0))
+        log(f"secondary: w64 PNNS ({db_rows}x{dim}): {qps:.2f} queries/sec "
+            f"(batch={batch}, best of 3)")
+        return qps
+    finally:
+        os.environ.pop("SHE_TPU_W64_FUSED_SERVING", None)
 
 
 def main():
@@ -196,6 +345,16 @@ def main():
             f"({ntt_rate / SWIFT_CPU_BASELINE_NTT_PER_SEC:.1f}x CPU estimate)")
     except Exception as e:  # pragma: no cover
         log(f"NTT bench failed: {e}")
+
+    if os.environ.get("BENCH_W64", "1") == "1":
+        try:
+            bench_pir_w64()
+        except Exception as e:  # pragma: no cover
+            log(f"w64 PIR bench failed: {e}")
+        try:
+            bench_pnns_w64()
+        except Exception as e:  # pragma: no cover
+            log(f"w64 PNNS bench failed: {e}")
 
     if os.environ.get("BENCH_PNNS", "1") == "1":
         try:

@@ -1,9 +1,11 @@
 """Staged (VPU) vs MXU-matmul NTT throughput on the real TPU.
 
-Usage: python benchmarks/ntt_mxu_bench.py [batch]
-Prints transforms/sec (one transform = all L RNS rows of one polynomial)
-and the implied HBM/MXU utilization for the roofline table in
-docs/ARCHITECTURE.md.
+Methodology: the axon tunnel's block_until_ready acks enqueue without
+waiting for execution, so each measurement chains `scan_len` dependent
+transforms inside ONE jitted scan and ends with a tiny host fetch (the
+fence), which cannot return before the chain has executed.
+
+Usage: python benchmarks/ntt_mxu_bench.py [batch] [scan_len]
 """
 import os
 import sys
@@ -18,6 +20,7 @@ import jax.numpy as jnp
 from she_tpu.ops import ntt as nttmod, ntt_mxu, word as wordmod
 
 batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+scan_len = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
 CONFIGS = [
     ("w32 N=4096x3", ((1 << 27) - 40959, (1 << 28) - 65535, (1 << 28) - 73727), 4096, 1),
@@ -25,16 +28,17 @@ CONFIGS = [
 ]
 
 
-def bench(fn, x, n_iters=10, windows=3):
-    y = fn(x)
-    jax.block_until_ready(y)
+def fence(y):
+    return np.asarray(y[..., :2])
+
+
+def bench(fn_scan, x, windows=3):
+    fence(fn_scan(x))  # warm/compile
     best = 0.0
     for _ in range(windows):
         t0 = time.perf_counter()
-        for _ in range(n_iters):
-            y = fn(x)
-        jax.block_until_ready(y)
-        best = max(best, batch * n_iters / (time.perf_counter() - t0))
+        fence(fn_scan(x))
+        best = max(best, batch * scan_len / (time.perf_counter() - t0))
     return best
 
 
@@ -47,30 +51,37 @@ for label, moduli, degree, nlimbs in CONFIGS:
         rows[:, i, :] = rng.integers(0, q, size=(batch, degree)).astype(object)
     data = jnp.asarray(wordmod.pack(rows, nlimbs))
 
-    @jax.jit
-    def staged_fwd(x):
+    def staged_body(c, _):
+        w = tuple(c[i] for i in range(nlimbs))
         return jnp.stack(nttmod.forward_ntt_arrays(
-            wordmod.as_word(x), degree, tabs.word,
+            w, degree, tabs.word,
             wordmod.as_word(jnp.asarray(tabs.q)),
             wordmod.as_word(jnp.asarray(tabs.q2)),
             wordmod.as_word(jnp.asarray(tabs.roots)),
-            wordmod.as_word(jnp.asarray(tabs.roots_shoup))))
+            wordmod.as_word(jnp.asarray(tabs.roots_shoup)))), ()
 
-    @jax.jit
-    def mxu_fwd(x):
-        return jnp.stack(ntt_mxu.forward_ntt(wordmod.as_word(x), mx))
+    def mxu_body(c, _):
+        w = tuple(c[i] for i in range(nlimbs))
+        return jnp.stack(ntt_mxu.forward_ntt(w, mx)), ()
 
-    @jax.jit
-    def mxu_inv(x):
-        return jnp.stack(ntt_mxu.inverse_ntt(wordmod.as_word(x), mx))
+    def mxu_inv_body(c, _):
+        w = tuple(c[i] for i in range(nlimbs))
+        return jnp.stack(ntt_mxu.inverse_ntt(w, mx)), ()
 
-    r_staged = bench(staged_fwd, data)
-    r_mxu = bench(mxu_fwd, data)
-    r_mxu_i = bench(mxu_inv, data)
-    # sanity: bit-equality on device
-    assert (np.asarray(staged_fwd(data)) == np.asarray(mxu_fwd(data))).all()
+    mk = lambda body: jax.jit(
+        lambda x: jax.lax.scan(body, x, None, length=scan_len)[0]
+    )
+    staged_f, mxu_f, mxu_i = mk(staged_body), mk(mxu_body), mk(mxu_inv_body)
+    # bit-equality on device first
+    a = np.asarray(jax.jit(lambda x: staged_body(x, None)[0])(data))
+    b = np.asarray(jax.jit(lambda x: mxu_body(x, None)[0])(data))
+    assert (a == b).all(), label
+    r_staged = bench(staged_f, data)
+    r_mxu = bench(mxu_f, data)
+    r_mxu_i = bench(mxu_i, data)
     bytes_per = nlimbs * len(moduli) * degree * 4
-    print(f"{label}: staged {r_staged:,.0f} t/s | mxu fwd {r_mxu:,.0f} t/s "
+    print(f"{label} (batch={batch}, fenced scan x{scan_len}): "
+          f"staged {r_staged:,.0f} t/s | mxu fwd {r_mxu:,.0f} t/s "
           f"| mxu inv {r_mxu_i:,.0f} t/s "
-          f"| mxu fwd HBM r+w {2 * bytes_per * r_mxu / 1e9:.0f} GB/s",
+          f"| mxu fwd minimum HBM r+w {2 * bytes_per * r_mxu / 1e9:.0f} GB/s",
           flush=True)

@@ -176,6 +176,127 @@ def _expand_one_batched(ct, output_count: int, evaluation_key, context) -> list:
 # ---------------------------------------------------------------------------
 # Stacked dim-0 inner product
 # ---------------------------------------------------------------------------
+#
+# Two kernels compute the same reduction over the d0 axis:
+# * the VPU path: lazy double-width MAC loop over j (mirrors the
+#   reference's 128-bit accumulators, Bfv.swift:266-311);
+# * the MXU path (default on TPU): out[c,p,l,n] = sum_j db[c,j,l,n] *
+#   q[j,p,l,n] is a [C, d0] x [d0, 2B] matmul batched over (l, n), run as
+#   exact int8 base-2^7 digit dots with int32 accumulation (the same
+#   decomposition as ops/ntt_mxu.py) — the d0 contraction rides the MXU
+#   instead of materializing per-j accumulator traffic on the VPU.
+
+
+def pack_database_chunk_digits(chunk: np.ndarray, ct_ctx) -> np.ndarray:
+    """[C, d0, W, L, N] u32 limb chunk -> int8 digit tensor
+    [D, L, N, C, d0] laid out for the batched dot (host, one-time)."""
+    D = _dim0_digit_count(ct_ctx)
+    C, d0, W, L, N = chunk.shape
+    vals = wordmod.unpack(np.moveaxis(np.asarray(chunk), 2, 0))  # [C,d0,L,N] obj
+    out = np.zeros((D, L, N, C, d0), dtype=np.int8)
+    for d in range(D):
+        dig = ((vals >> (7 * d)) & 0x7F).astype(np.int64).astype(np.int8)
+        out[d] = np.moveaxis(dig, (2, 3), (0, 1))
+    return out
+
+
+def _dim0_digit_count(ct_ctx) -> int:
+    return -(-max(int(q).bit_length() for q in ct_ctx.moduli) // 7)
+
+
+def _query_digits(query_eval, D: int):
+    """query_eval [d0, P, W, L, N] u32 -> int8 [D, L, N, d0, P]."""
+    nl = query_eval.shape[2]
+    digs = []
+    for d in range(D):
+        bit = 7 * d
+        li, off = bit // 32, bit % 32
+        v = query_eval[:, :, li] >> off
+        if off > 32 - 7 and li + 1 < nl:
+            v = v | (query_eval[:, :, li + 1] << (32 - off))
+        digs.append(
+            jnp.transpose((v & 0x7F).astype(jnp.int8), (2, 3, 0, 1))
+        )  # [L, N, d0, P]
+    return digs
+
+
+def dim0_inner_products_mxu(db_digits, query_eval, ct_ctx):
+    """db_digits [D, L, N, C, d0] int8; query_eval [d0, P, W, L, N] u32
+    -> [C, P, W, L, N] reduced results (P = 2 polys, or 2*B for a stacked
+    batch). Bit-identical to dim0_inner_products."""
+    from ..ops import ntt_mxu
+
+    D = db_digits.shape[0]
+    d0 = db_digits.shape[4]
+    qd = _query_digits(query_eval, D)
+    partials = {}
+    for i in range(D):
+        for j in range(D):
+            p = jnp.einsum(
+                "lncj,lnjp->lncp",
+                db_digits[i],
+                qd[j],
+                preferred_element_type=jnp.int32,
+            )
+            k = i + j
+            partials[k] = p if k not in partials else partials[k] + p
+    qmax = max(int(q) for q in ct_ctx.moduli)
+    bound_bits = (d0 * (qmax - 1) * (qmax - 1)).bit_length()
+    acc = ntt_mxu._accumulate_partials(
+        [partials[k] for k in sorted(partials)],
+        ntt_mxu._acc_limbs_for(bound_bits),
+    )  # list of [L, N, C, P] u32 limbs
+    acc = [jnp.transpose(a, (2, 3, 0, 1)) for a in acc]  # [C, P, L, N]
+    if ct_ctx.nlimbs == 1:
+        word = _reduce_acc_limbs_w32_rows(acc, ct_ctx)
+        return word[0][:, :, None]  # [C, P, 1, L, N]
+    los, his = [], []
+    for row in range(len(ct_ctx.moduli)):
+        rc = ct_ctx.row_consts[row]
+        consts = {
+            "k": rc["k"],
+            "mu32": np.uint32(rc["mu32"]),
+            "r32": ct_ctx.row_word("r32", row),
+            "r32_shoup": ct_ctx.row_word("r32_shoup", row),
+        }
+        racc = [a[..., row, :] for a in acc]
+        lo, hi = _reduce_acc_limbs_w64_row(racc, ct_ctx.row_word("q", row), consts)
+        los.append(lo)
+        his.append(hi)
+    return jnp.stack(
+        [jnp.stack(los, axis=-2), jnp.stack(his, axis=-2)], axis=2
+    )  # [C, P, W, L, N]
+
+
+def _reduce_acc_limbs_w32_rows(acc, ct_ctx):
+    """Little-endian u32 limb arrays [..., L, N] -> word in [0, q) with
+    [L, 1] row-broadcast constants."""
+    q = jnp.asarray(ct_ctx.q_arr)[0, :, :]  # [L, 1]
+    mu32 = jnp.asarray(
+        np.array([[c["mu32"]] for c in ct_ctx.row_consts], dtype=np.uint32)
+    )
+    r32 = jnp.asarray(
+        np.array([[c["r32"]] for c in ct_ctx.row_consts], dtype=np.uint32)
+    )
+    r32s = jnp.asarray(
+        np.array([[c["r32_shoup"]] for c in ct_ctx.row_consts], dtype=np.uint32)
+    )
+    W32 = wordmod.W32
+    out = W32.reduce_u32((acc[-1],), (q,), (mu32,))
+    for limb_arr in reversed(acc[:-1]):
+        out = W32.mul_shoup(out, (r32,), (r32s,), (q,))
+        out = W32.add_mod(out, W32.reduce_u32((limb_arr,), (q,), (mu32,)), (q,))
+    return out
+
+
+def _reduce_acc_limbs_w64_row(acc, q_word, consts):
+    W64 = wordmod.W64
+    out = W64._reduce_limb(acc[-1], q_word, consts)
+    r32, r32s = consts["r32"], consts["r32_shoup"]
+    for limb_arr in reversed(acc[:-1]):
+        out = W64.mul_shoup(out, r32, r32s, q_word)
+        out = W64.add_mod(out, W64._reduce_limb(limb_arr, q_word, consts), q_word)
+    return out
 
 
 def pack_database_chunk(plaintexts: list, d0: int, ct_ctx) -> np.ndarray:
@@ -392,7 +513,10 @@ class _StagedResponder:
             query_eval = jnp.stack(
                 [jnp.stack([c.polys[0].data, c.polys[1].data]) for c in dim0]
             )  # [d0, 2, W, L, N]
-            results = dim0_inner_products(chunk, query_eval, ct_ctx)
+            if server.use_dim0_mxu:
+                results = dim0_inner_products_mxu(chunk, query_eval, ct_ctx)
+            else:
+                results = dim0_inner_products(chunk, query_eval, ct_ctx)
             C = results.shape[0]
             return [
                 bfv.Ciphertext(
@@ -473,7 +597,12 @@ class _StagedResponder:
         }
         fin = self._stage(("finalize",), self._make_finalize_fn())
         reply = []
-        for chunk in server.chunks[db_index]:
+        chunk_arrays = (
+            server.chunk_digits[db_index]
+            if server.use_dim0_mxu
+            else server.chunks[db_index]
+        )
+        for chunk in chunk_arrays:
             columns = dim0_fn(dim0_cts, chunk)
             query_start = 0
             for dim_size in parameter.dimensions[1:]:
@@ -534,18 +663,44 @@ class BatchedMulPirServer:
         self.databases = databases
         d0 = parameter.dimensions[0]
         n_chunks = ip.chunk_count(parameter, context)
-        self.chunks = []  # per database, per chunk: packed tensor
+        # MXU dim-0 kernel: measured 3.4x end-to-end on v5e (177 vs 52 q/s
+        # fenced, 1M-entry DB); default on for TPU. Off-TPU the VPU kernel
+        # stays default — XLA:CPU's compile time on the digit-einsum+
+        # multi-limb-combine graph is superlinear for the w64 digit counts.
+        flag = os.environ.get("SHE_TPU_DIM0_MXU")
+        if flag is None:
+            self.use_dim0_mxu = jax.default_backend() != "cpu"
+        else:
+            self.use_dim0_mxu = flag == "1"
+        self.chunks = []  # per database, per chunk: packed u32 limb tensor
+        self.chunk_digits = []  # per database, per chunk: int8 digit tensor
         for db in databases:
             per_chunk = db.count // n_chunks
-            packed = [
-                jnp.asarray(
-                    pack_database_chunk(db.plaintexts[s : s + per_chunk], d0, self.ct_ctx)
+            packed = []
+            digits = []
+            for s in range(0, db.count, per_chunk):
+                arr = pack_database_chunk(
+                    db.plaintexts[s : s + per_chunk], d0, self.ct_ctx
                 )
-                for s in range(0, db.count, per_chunk)
-            ]
+                packed.append(jnp.asarray(arr))
+                if self.use_dim0_mxu:
+                    digits.append(
+                        jnp.asarray(pack_database_chunk_digits(arr, self.ct_ctx))
+                    )
             self.chunks.append(packed)
+            self.chunk_digits.append(digits)
         self._respond_jit = {}
         self._staged = None
+
+    def _dim0(self, db_index: int, chunk_index: int, query_eval):
+        """Dim-0 inner products for one chunk with the selected kernel."""
+        if self.use_dim0_mxu:
+            return dim0_inner_products_mxu(
+                self.chunk_digits[db_index][chunk_index], query_eval, self.ct_ctx
+            )
+        return dim0_inner_products(
+            self.chunks[db_index][chunk_index], query_eval, self.ct_ctx
+        )
 
     def _respond_one(self, query_cts: list, evaluation_key, indices_count: int):
         """Traced single-query response (same math as MulPirServer)."""
@@ -576,8 +731,8 @@ class BatchedMulPirServer:
             [jnp.stack([c.polys[0].data, c.polys[1].data]) for c in dim0]
         )  # [d0, 2, W, L, N]
         reply = []
-        for chunk in self.chunks[db_index]:
-            results = dim0_inner_products(chunk, query_eval, self.ct_ctx)  # [C,2,W,L,N]
+        for chunk_index in range(len(self.chunks[db_index])):
+            results = self._dim0(db_index, chunk_index, query_eval)  # [C,2,W,L,N]
             C = results.shape[0]
             columns = [
                 bfv.Ciphertext(
@@ -650,9 +805,12 @@ class BatchedMulPirServer:
         """Raw response arrays (per query index, per chunk,
         [B, polys, W, L, N]) without host assembly — multi-host callers
         gather the globally sharded outputs themselves."""
+        w64 = self.ct_ctx.nlimbs == 2
+        fused_override = os.environ.get("SHE_TPU_W64_FUSED_SERVING") == "1"
         staged = (
-            self.ct_ctx.nlimbs == 2
-            and os.environ.get("SHE_TPU_W64_FUSED_SERVING") != "1"
+            w64
+            and not fused_override
+            and jax.default_backend() != "cpu"
         ) or os.environ.get("SHE_TPU_STAGED_SERVING") == "1"
         if staged:
             if self._staged is None:
@@ -660,6 +818,12 @@ class BatchedMulPirServer:
             return self._staged.respond(
                 stacked, evaluation_key, B, n_ct, indices_count
             )
+        if w64 and not fused_override:
+            # XLA:CPU's backend is superlinear compiling both the fully
+            # fused u128 graph AND the staged pipeline's stage programs, so
+            # off-TPU the w64 batch runs as eager vmap (small per-op
+            # compiles, r1 behavior).
+            return self._respond_eager(stacked, evaluation_key, B, n_ct, indices_count)
         key = (B, n_ct, indices_count)
         if key not in self._respond_jit:
 
@@ -689,6 +853,29 @@ class BatchedMulPirServer:
             # where the one-time disk-cached compile amortizes).
             self._respond_jit[key] = jax.jit(run)
         return self._respond_jit[key](stacked, evaluation_key)
+
+    def _respond_eager(self, stacked, evaluation_key, B, n_ct, indices_count):
+        """The same batched math as the fused program, executed op-by-op
+        (eager vmap): every primitive compiles as its own small program."""
+
+        def one(per_query):
+            cts = [
+                bfv.Ciphertext(
+                    self.context,
+                    [
+                        PolyRq(per_query[i][p], self.ct_ctx, COEFF)
+                        for p in range(per_query[i].shape[0])
+                    ],
+                )
+                for i in range(n_ct)
+            ]
+            replies = self._respond_one(cts, evaluation_key, indices_count)
+            return [
+                [jnp.stack([p.data for p in ct.polys]) for ct in reply]
+                for reply in replies
+            ]
+
+        return jax.vmap(one)(stacked)
 
     def _assemble_responses(self, out, B: int) -> list:
         """out: per query index, per chunk, [B, polys, W, L, N] arrays."""

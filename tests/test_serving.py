@@ -142,3 +142,20 @@ def test_batched_server_w64():
             for rc, gc in zip(ref_reply, got_reply):
                 for rp, gp in zip(rc.polys, gc.polys):
                     assert (np.asarray(rp.data) == np.asarray(gp.data)).all()
+
+
+def test_batched_server_mxu_dim0_matches(setup, monkeypatch):
+    """The MXU digit-matmul dim-0 kernel (default on TPU) is bit-identical
+    to the VPU lazy-MAC kernel on the w32 path."""
+    monkeypatch.setenv("SHE_TPU_DIM0_MXU", "1")
+    ctx, sk, parameter, database, processed, client, ek = setup
+    server = serving.BatchedMulPirServer(parameter, ctx, [processed])
+    assert server.use_dim0_mxu
+    queries = [client.generate_query([i], sk) for i in (1, 7, 9)]
+    responses = server.compute_response_batch(queries, ek)
+    reference = ip.MulPirServer(parameter, ctx, [processed])
+    for q, r in zip(queries, responses):
+        want = reference.compute_response(q, ek)
+        for a, b in zip(r.ciphertexts[0], want.ciphertexts[0]):
+            for pa, pb in zip(a.polys, b.polys):
+                assert (np.asarray(pa.data) == np.asarray(pb.data)).all()
