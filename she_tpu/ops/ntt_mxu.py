@@ -385,8 +385,18 @@ def inverse_ntt(x, t: "MxuNttTables"):
 
 
 def use_mxu(tables) -> bool:
-    """Dispatch policy for ops.ntt: explicit env override, else on for TPU
-    w32 transforms where the matmul formulation measured faster."""
+    """Dispatch policy for ops.ntt: opt-in via SHE_TPU_NTT_MXU=1.
+
+    Fenced v5e measurements (benchmarks/ntt_mxu_bench.py, scan-chained,
+    host-fetch fenced): the staged VPU path wins as the NTT kernel —
+    w32 N=4096x3 batch 64: staged 34.0k vs mxu 25.0k transforms/s;
+    w64 N=8192x3: staged 21.7k vs 15.8k (the D=8 digit recombination is
+    VPU-bound). End-to-end PIR serving with SHE_TPU_NTT_MXU=1 measured
+    59 vs 177 q/s. The same digit-matmul decomposition DOES win where the
+    contraction is long and the operand is static — the dim-0 database MAC
+    (pir/serving.py:dim0_inner_products_mxu, 3.4x end-to-end) — so the MXU
+    experiment's outcome is: matmul-ify the MACs, keep butterflies on the
+    VPU."""
     flag = os.environ.get("SHE_TPU_NTT_MXU")
     if flag == "0":
         return False
@@ -394,7 +404,7 @@ def use_mxu(tables) -> bool:
         return False
     if flag == "1":
         return True
-    return False  # default off until benched; flipped by perf results
+    return False
 
 
 @lru_cache(maxsize=None)
