@@ -163,7 +163,23 @@ class MxuNttTables:
 
 
 def supports(moduli, degree: int) -> bool:
-    return degree % _BLOCK == 0 and (degree // _BLOCK) >= 2
+    # power-of-two required: the stage-matrix construction walks log2 stages
+    return (
+        nt.is_power_of_two(degree)
+        and degree % _BLOCK == 0
+        and (degree // _BLOCK) >= 2
+    )
+
+
+def assert_int32_partial_bound(contract: int, digits: int) -> None:
+    """The digit-dot einsums accumulate up to `digits` partial products of
+    `contract` int8*int8 terms (each <= 127^2) in one int32 accumulator;
+    fail loudly instead of wrapping if a shape exceeds the exact bound."""
+    if contract * 127 * 127 * digits >= 1 << 31:
+        raise OverflowError(
+            f"int32 digit-dot bound exceeded: contraction length {contract} x "
+            f"127^2 x {digits} digits >= 2^31; use the VPU kernel for this shape"
+        )
 
 
 @lru_cache(maxsize=None)
@@ -174,6 +190,7 @@ def build_mxu_tables(moduli: tuple, degree: int, nlimbs: int) -> MxuNttTables:
     bits = 32 * nlimbs
     D = max(int(q).bit_length() for q in moduli)
     D = -(-D // 7)
+    assert_int32_partial_bound(max(A, _BLOCK), D)
     Lf = np.zeros((L, D, A, A), dtype=np.int8)
     Rf = np.zeros((L, D, A, _BLOCK, _BLOCK), dtype=np.int8)
     Ri = np.zeros((L, D, A, _BLOCK, _BLOCK), dtype=np.int8)

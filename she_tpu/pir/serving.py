@@ -228,6 +228,7 @@ def dim0_inner_products_mxu(db_digits, query_eval, ct_ctx):
 
     D = db_digits.shape[0]
     d0 = db_digits.shape[4]
+    ntt_mxu.assert_int32_partial_bound(d0, D)
     qd = _query_digits(query_eval, D)
     partials = {}
     for i in range(D):
@@ -682,11 +683,15 @@ class BatchedMulPirServer:
                 arr = pack_database_chunk(
                     db.plaintexts[s : s + per_chunk], d0, self.ct_ctx
                 )
-                packed.append(jnp.asarray(arr))
                 if self.use_dim0_mxu:
+                    # only the int8 digit tensor is served; keep the u32
+                    # packing on host so the DB doesn't occupy HBM twice
+                    packed.append(arr)
                     digits.append(
                         jnp.asarray(pack_database_chunk_digits(arr, self.ct_ctx))
                     )
+                else:
+                    packed.append(jnp.asarray(arr))
             self.chunks.append(packed)
             self.chunk_digits.append(digits)
         self._respond_jit = {}

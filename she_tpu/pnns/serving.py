@@ -105,6 +105,118 @@ def _pt_mul(db_gj, q_j):
     return limb.mul32(db_gj[:, :, None], q_j[None, None])
 
 
+class _StagedPnnsResponder:
+    """w64 TPU path: a pipeline of small cached jits (per-rotation, BSGS
+    MAC, per-giant-step rotate-and-sum, finalize) instead of one fused
+    program — XLA compile time stays linear in pipeline depth, mirroring
+    pir.serving._StagedResponder (same stage boundaries as the reference's
+    mulTranspose phases, MatrixMultiplication.swift:131-299)."""
+
+    def __init__(self, server: "BatchedPnnsServer"):
+        self.server = server
+        self._jits: dict = {}
+
+    def _stage(self, key, make):
+        if key not in self._jits:
+            self._jits[key] = jax.jit(make())
+        return self._jits[key]
+
+    def respond(self, stacked, evaluation_key, B):
+        return [
+            self._respond_matrix(mi, stacked[mi], evaluation_key)
+            for mi in range(len(self.server.packed))
+        ]
+
+    def _respond_matrix(self, mi: int, arr, ek):
+        server = self.server
+        ctx = server.contexts[mi]
+        ct_ctx = ctx.ciphertext_context
+        matrix = server.database.plaintext_matrices[mi]
+        bsgs = matrix.packing.bsgs
+        J = bsgs.baby_step
+
+        def mk_ct(a, fmt=COEFF):
+            return bfv.Ciphertext(
+                ctx, [PolyRq(a[p], ct_ctx, fmt) for p in range(a.shape[0])]
+            )
+
+        def stack_polys(ct):
+            return jnp.stack([p.data for p in ct.polys])
+
+        to_eval = self._stage(
+            ("pnns_eval", mi),
+            lambda: jax.vmap(lambda a: stack_polys(bfv.ct_to_eval(mk_ct(a)))),
+        )
+        rot1 = self._stage(
+            ("pnns_rot1", mi),
+            lambda: jax.vmap(
+                lambda a, ek: stack_polys(bfv.rotate_columns(mk_ct(a), -1, ek)),
+                in_axes=(0, None),
+            ),
+        )
+        state = arr  # [B, 2, W, L, N]
+        rotated = []
+        for step in range(J):
+            rotated.append(to_eval(state))
+            if step != J - 1:
+                state = rot1(state, ek)
+
+        def mac_one(rot_eval):  # [J, 2, W, L, N] for one query
+            prods = bsgs_inner_products(server.packed[mi], rot_eval, ct_ctx)
+            G, R = prods.shape[0], prods.shape[1]
+            return jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.stack(
+                                [
+                                    polymod.inverse_ntt(
+                                        PolyRq(prods[g, r, p], ct_ctx, EVAL)
+                                    ).data
+                                    for p in range(2)
+                                ]
+                            )
+                            for r in range(R)
+                        ]
+                    )
+                    for g in range(G)
+                ]
+            )  # [G, R, 2, W, L, N] coeff
+
+        mac = self._stage(
+            ("pnns_mac", mi), lambda: jax.vmap(mac_one, in_axes=1, out_axes=0)
+        )
+        per_giant = mac(jnp.stack(rotated))  # [B, G, R, polys, W, L, N]
+        G, R = per_giant.shape[1], per_giant.shape[2]
+        rotsum = self._stage(
+            ("pnns_rotsum", mi, J),
+            lambda: jax.vmap(
+                lambda acc, ct, ek: stack_polys(
+                    bfv.ct_add(
+                        pnns.rotate_columns_multi_step(mk_ct(acc), -J, ek),
+                        mk_ct(ct),
+                    )
+                ),
+                in_axes=(0, 0, None),
+            ),
+        )
+        fin = self._stage(
+            ("pnns_fin", mi),
+            lambda: jax.vmap(
+                lambda a: stack_polys(
+                    bfv.ct_to_coeff(bfv.mod_switch_down_to_single(mk_ct(a)))
+                )
+            ),
+        )
+        out = []
+        for r in range(R):
+            acc = per_giant[:, G - 1, r]
+            for g in reversed(range(G - 1)):
+                acc = rotsum(acc, per_giant[:, g, r], ek)
+            out.append(fin(acc))
+        return out  # list over R of [B, polys, W, L, N]
+
+
 class BatchedPnnsServer:
     """Serves query batches; one jitted program per batch size."""
 
@@ -117,6 +229,7 @@ class BatchedPnnsServer:
             for m, ctx in zip(database.plaintext_matrices, self.contexts)
         ]
         self._jit = {}
+        self._staged = None
 
     def _respond_one_matrix(self, mi: int, query_ct, evaluation_key):
         """query_ct: 1-row denseRow ciphertext (canonical); returns list of
@@ -185,16 +298,27 @@ class BatchedPnnsServer:
         """stacked: [n_matrices] list of [B, 2, W, L, N] (possibly sharded
         over a mesh axis on the query-batch dimension).
 
-        The 2-limb (w64) batch runs as eager vmap by default — XLA:CPU's
-        backend is superlinear on the fully-fused u128 graph (as in PIR
-        serving); SHE_TPU_W64_FUSED_SERVING=1 opts into the single fused
-        jit for long-running TPU deployments where the one-time disk-cached
-        compile amortizes."""
+        w64 serving mode mirrors the PIR policy (pir/serving.py): on
+        accelerator backends the 2-limb batch runs as a staged pipeline of
+        small cached jits; off-TPU it runs as eager vmap (XLA:CPU's backend
+        is superlinear compiling the u128 stage programs);
+        SHE_TPU_W64_FUSED_SERVING=1 opts into the single fused jit for
+        long-running deployments where the one-time disk-cached compile
+        amortizes."""
         import os
 
         n_matrices = len(self.packed)
         w64 = any(c.ciphertext_context.nlimbs == 2 for c in self.contexts)
-        fused = (not w64) or os.environ.get("SHE_TPU_W64_FUSED_SERVING") == "1"
+        fused_override = os.environ.get("SHE_TPU_W64_FUSED_SERVING") == "1"
+        staged = (
+            w64 and not fused_override and jax.default_backend() != "cpu"
+        ) or os.environ.get("SHE_TPU_STAGED_SERVING") == "1"
+        if staged:
+            if self._staged is None:
+                self._staged = _StagedPnnsResponder(self)
+            out = self._staged.respond(stacked, evaluation_key, B)
+            return self._assemble_responses(out, B)
+        fused = (not w64) or fused_override
         key = (B, n_matrices, fused)
         if key not in self._jit:
 
@@ -225,6 +349,11 @@ class BatchedPnnsServer:
 
             self._jit[key] = jax.jit(run) if fused else run
         out = self._jit[key](stacked, evaluation_key)
+        return self._assemble_responses(out, B)
+
+    def _assemble_responses(self, out, B: int) -> list:
+        """out: per matrix, per result ct, [B, polys, W, L, N] arrays."""
+        n_matrices = len(self.packed)
         responses = []
         for b in range(B):
             matrices = []

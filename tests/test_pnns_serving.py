@@ -47,10 +47,14 @@ def test_batched_pnns_matches_reference():
         assert np.allclose(np.asarray(got_distances).ravel(), np.asarray(ref_distances).ravel()), i
 
 
-def test_batched_pnns_w64_matches_reference():
+@pytest.mark.parametrize("staged", [False, True])
+def test_batched_pnns_w64_matches_reference(staged, monkeypatch):
     """2-limb (w64) batched serving: bit-parity with the reference-path
     server (reference PnnsBenchmark covers Bfv<UInt64> too,
-    PnnsBenchmark.swift:22-28). Runs as eager vmap (see serving docstring)."""
+    PnnsBenchmark.swift:22-28). Covers both the eager-vmap default (CPU)
+    and the staged pipeline (default on accelerator backends)."""
+    if staged:
+        monkeypatch.setenv("SHE_TPU_STAGED_SERVING", "1")
     ep = paramsmod.from_predefined("insecure_n_512_logq_4x60_logt_20", 64)
     ctx = bfv.get_bfv_context(ep)
     assert ctx.ciphertext_context.nlimbs == 2
