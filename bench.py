@@ -382,7 +382,10 @@ def bench_pnns_w64(db_rows=4096, dim=128, batch=8, n_iters=5):
 def main():
     # ---- headline FIRST: w32 MulPIR on the 1M-entry reference config ----
     entry_count = int(os.environ.get("BENCH_PIR_ENTRIES", "1000000"))
-    batch = int(os.environ.get("BENCH_PIR_BATCH", "32"))
+    # fenced v5e sweep (2026-08-21): B=32 177 q/s, B=64 266, B=128 328 —
+    # throughput serving is batch-first (SURVEY §7.3); 128 balances q/s
+    # against per-batch latency and compile time.
+    batch = int(os.environ.get("BENCH_PIR_BATCH", "128"))
     qps = bench_pir(entry_count=entry_count, batch=batch)
     print(
         json.dumps(

@@ -426,7 +426,16 @@ def _add_mod_rows(a, b, ctx):
 
 class _StagedResponder:
     """Per-server cache of jitted stage programs (keyed by stage identity;
-    jax.jit's own cache handles shape specialization within a key)."""
+    jax.jit's own cache handles shape specialization within a key).
+
+    All stages are tensor-first: intermediate state lives in single device
+    arrays ([slots, B, polys, W, L, N] for the expansion pool, [C, B, ...]
+    for dim-0 columns) and the per-level/per-stage programs gather, compute,
+    and append inside ONE jit each. This keeps the host dispatch count per
+    batch at ~(levels + chunks * dims) — the earlier pytree-of-lists
+    formulation issued hundreds of eager stack/slice ops per batch, and at
+    ~1 ms tunnel dispatch latency those dominated the staged pipeline
+    (measured 1557 ms/batch for expansion vs 60 ms for all compute)."""
 
     def __init__(self, server: "BatchedMulPirServer"):
         self.server = server
@@ -437,34 +446,75 @@ class _StagedResponder:
             self._jits[key] = jax.jit(make())
         return self._jits[key]
 
+    def _mk_ct(self, arr, fmt=COEFF):
+        """[polys, W, L, N] -> Ciphertext (trace-time)."""
+        server = self.server
+        return bfv.Ciphertext(
+            server.context,
+            [PolyRq(arr[p], server.ct_ctx, fmt) for p in range(arr.shape[0])],
+        )
+
+    @staticmethod
+    def _ct_arr(ct):
+        return jnp.stack([p.data for p in ct.polys])
+
     # -- expansion ---------------------------------------------------------
 
-    def _make_level_fn(self, element: int, apply_count: int, shift: int):
-        def one(ct, ek):
+    def _make_level_fn(
+        self, element: int, apply_count: int, shift: int, parent_rows: tuple
+    ):
+        mk_ct, ct_arr = self._mk_ct, self._ct_arr
+        rows = np.asarray(parent_rows)
+
+        def one(arr, ek):  # arr: [polys, W, L, N]
+            ct = mk_ct(arr)
             c1 = ct
             for _ in range(apply_count):
                 c1 = bfv.apply_galois(c1, element, ek)
             p0 = bfv.ct_add(c1, ct)
             p1 = bfv.multiply_power_of_x(bfv.ct_sub(ct, c1), -shift)
-            return p0, p1
+            return ct_arr(p0), ct_arr(p1)
 
-        def level(parents, ek):  # parents: [nodes, B] leading axes
-            return jax.vmap(
+        def level(pool, ek):  # pool: [S, B, polys, W, L, N]
+            parents = pool[rows]
+            p0, p1 = jax.vmap(
                 jax.vmap(one, in_axes=(0, None)), in_axes=(0, None)
             )(parents, ek)
+            return jnp.concatenate([pool, p0, p1], axis=0)
 
         return lambda: level
 
-    def _expand_staged(self, ct, output_count: int, evaluation_key) -> list:
-        """ct: [B]-batched Ciphertext pytree. Same tree/math as
-        _expand_one_batched, one cached jit per level signature."""
+    def _make_leaf_fn(self, leaf_rows: tuple, doubled: tuple):
+        mk_ct, ct_arr = self._mk_ct, self._ct_arr
+        rows = np.asarray(leaf_rows)
+        dbl_idx = np.nonzero(np.asarray(doubled))[0]
+
+        def one(arr):
+            ct = mk_ct(arr)
+            return ct_arr(bfv.ct_add(ct, ct))
+
+        def leaves(pool):
+            out = pool[rows]  # [E, B, polys, W, L, N]
+            if dbl_idx.size:
+                doubled_out = jax.vmap(jax.vmap(one))(out[dbl_idx])
+                out = out.at[dbl_idx].set(doubled_out)
+            return out
+
+        return lambda: leaves
+
+    def _expand_staged(self, stacked_ct, output_count: int, evaluation_key):
+        """stacked_ct: [B, polys, W, L, N] array of one query ciphertext.
+        Returns [output_count, B, polys, W, L, N] in final output order —
+        same tree/math as _expand_one_batched, one cached jit per level."""
         context = self.server.context
         if output_count == 1:
-            return [ct]
+            return stacked_ct[None]
         plan = build_expansion_plan(output_count)
         log2n = nt.log2_exact(context.degree)
-        slots: list = [None] * plan.slot_count
-        slots[0] = ct
+        # pool rows are assigned in creation order; map plan slot -> row
+        row_of = {0: 0}
+        next_row = 1
+        pool = stacked_ct[None]  # [1, B, polys, W, L, N]
         for level_index, level in enumerate(plan.levels):
             if not level:
                 continue
@@ -480,37 +530,37 @@ class _StagedResponder:
             apply_count = 1 << (
                 ser.floor_log2(target_element - 1) - ser.floor_log2(element - 1)
             )
-            parents = _stack_cts([slots[p] for p, _, _ in level])
+            parent_rows = tuple(row_of[p] for p, _, _ in level)
             step = self._stage(
-                ("expand", element, apply_count, shift),
-                self._make_level_fn(element, apply_count, shift),
+                ("expand", element, apply_count, shift, parent_rows),
+                self._make_level_fn(element, apply_count, shift, parent_rows),
             )
-            p0, p1 = step(parents, evaluation_key)
-            p0_list = _unstack_cts(p0, len(level))
-            p1_list = _unstack_cts(p1, len(level))
-            for (parent, c0_slot, c1_slot), a, b in zip(level, p0_list, p1_list):
-                slots[c0_slot] = a
-                slots[c1_slot] = b
-        outs = [slots[slot] for slot, _ in plan.leaves]
-        doubled_idx = [i for i, (_, d) in enumerate(plan.leaves) if d]
-        if doubled_idx:
-            dbl = self._stage(
-                ("double",),
-                lambda: jax.vmap(jax.vmap(lambda c: bfv.ct_add(c, c))),
-            )
-            doubled = dbl(_stack_cts([outs[i] for i in doubled_idx]))
-            for j, i in enumerate(doubled_idx):
-                outs[i] = jax.tree_util.tree_map(lambda x, j=j: x[j], doubled)
-        return outs
+            pool = step(pool, evaluation_key)
+            n = len(level)
+            for i, (_, c0_slot, c1_slot) in enumerate(level):
+                row_of[c0_slot] = next_row + i
+                row_of[c1_slot] = next_row + n + i
+            next_row += 2 * n
+        leaf_rows = tuple(row_of[slot] for slot, _ in plan.leaves)
+        doubled = tuple(d for _, d in plan.leaves)
+        fin = self._stage(
+            ("expand_leaves", leaf_rows, doubled),
+            self._make_leaf_fn(leaf_rows, doubled),
+        )
+        return fin(pool)
 
     # -- dim-0 ct·pt inner products -----------------------------------------
 
     def _make_dim0_fn(self):
         server = self.server
         ct_ctx = server.ct_ctx
+        mk_ct, ct_arr = self._mk_ct, self._ct_arr
 
-        def one(dim0_cts, chunk):
-            dim0 = [bfv.ct_to_eval(c) for c in dim0_cts]
+        def one(dim0_arrs, chunk):  # dim0_arrs: [d0, polys, W, L, N]
+            dim0 = [
+                bfv.ct_to_eval(mk_ct(dim0_arrs[j]))
+                for j in range(dim0_arrs.shape[0])
+            ]
             query_eval = jnp.stack(
                 [jnp.stack([c.polys[0].data, c.polys[1].data]) for c in dim0]
             )  # [d0, 2, W, L, N]
@@ -519,35 +569,45 @@ class _StagedResponder:
             else:
                 results = dim0_inner_products(chunk, query_eval, ct_ctx)
             C = results.shape[0]
-            return [
-                bfv.Ciphertext(
-                    server.context,
-                    [
-                        polymod.inverse_ntt(PolyRq(results[c, p], ct_ctx, EVAL))
-                        for p in range(2)
-                    ],
-                )
-                for c in range(C)
-            ]
+            return jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            polymod.inverse_ntt(
+                                PolyRq(results[c, p], ct_ctx, EVAL)
+                            ).data
+                            for p in range(2)
+                        ]
+                    )
+                    for c in range(C)
+                ]
+            )  # [C, polys, W, L, N]
 
+        # expanded tensor [d0, B, polys, W, L, N] -> columns [C, B, polys, ...]
         return lambda: (
-            lambda cts, chunk: jax.vmap(one, in_axes=(0, None))(cts, chunk)
+            lambda exp, chunk: jax.vmap(one, in_axes=(1, None), out_axes=1)(
+                exp, chunk
+            )
         )
 
     # -- higher dims + finalize ----------------------------------------------
 
-    @staticmethod
-    def _make_group_fn():
-        def one(v0, v1, ek):
+    def _make_group_fn(self, dim_size: int):
+        mk_ct, ct_arr = self._mk_ct, self._ct_arr
+
+        def one(v0_arrs, v1_arrs, ek):  # [dim_size, polys, W, L, N] each
+            v0 = [mk_ct(v0_arrs[j]) for j in range(dim_size)]
+            v1 = [mk_ct(v1_arrs[j]) for j in range(dim_size)]
             prod = bfv.inner_product_ct_ct(v0, v1)
-            return bfv.relinearize(prod, ek)
+            return ct_arr(bfv.relinearize(prod, ek))
 
-        return lambda: jax.vmap(one, in_axes=(0, 0, None))
+        return lambda: jax.vmap(one, in_axes=(1, 1, None), out_axes=0)
 
-    @staticmethod
-    def _make_finalize_fn():
-        def one(ct):
-            out = bfv.ct_to_coeff(bfv.mod_switch_down_to_single(ct))
+    def _make_finalize_fn(self):
+        mk_ct = self._mk_ct
+
+        def one(arr):
+            out = bfv.ct_to_coeff(bfv.mod_switch_down_to_single(mk_ct(arr)))
             return jnp.stack([p.data for p in out.polys])
 
         return lambda: jax.vmap(one)
@@ -559,24 +619,18 @@ class _StagedResponder:
         of per-chunk [B, polys, W, L, N] arrays."""
         server = self.server
         parameter = server.parameter
-        ct_ctx = server.ct_ctx
-        cts = [
-            bfv.Ciphertext(
-                server.context,
-                [
-                    PolyRq(stacked[i][:, p], ct_ctx, COEFF)
-                    for p in range(stacked[i].shape[1])
-                ],
-            )
-            for i in range(n_ct)
-        ]
         degree = server.context.degree
-        expanded_all: list = []
+        pools: list = []
         remaining = parameter.expanded_query_count * indices_count
-        for ct in cts:
+        for i in range(n_ct):
             n = min(remaining, degree)
-            expanded_all.extend(self._expand_staged(ct, n, evaluation_key))
+            pools.append(self._expand_staged(stacked[i], n, evaluation_key))
             remaining -= n
+        expanded_all = (
+            pools[0]
+            if len(pools) == 1
+            else jnp.concatenate(pools, axis=0)
+        )  # [E_total, B, polys, W, L, N]
         per_query = parameter.expanded_query_count
         out = []
         for qi in range(indices_count):
@@ -585,15 +639,16 @@ class _StagedResponder:
             out.append(self._respond_expanded(expanded, evaluation_key, db_index))
         return out
 
-    def _respond_expanded(self, expanded: list, evaluation_key, db_index: int):
+    def _respond_expanded(self, expanded, evaluation_key, db_index: int):
+        """expanded: [per_query, B, polys, W, L, N] tensor."""
         server = self.server
         parameter = server.parameter
         d0 = parameter.dimensions[0]
-        dim0_cts = expanded[:d0]
-        rest = expanded[d0:]
         dim0_fn = self._stage(("dim0", d0), self._make_dim0_fn())
         group_fns = {
-            dim_size: self._stage(("dims", dim_size), self._make_group_fn())
+            dim_size: self._stage(
+                ("dims", dim_size), self._make_group_fn(dim_size)
+            )
             for dim_size in parameter.dimensions[1:]
         }
         fin = self._stage(("finalize",), self._make_finalize_fn())
@@ -604,15 +659,15 @@ class _StagedResponder:
             else server.chunks[db_index]
         )
         for chunk in chunk_arrays:
-            columns = dim0_fn(dim0_cts, chunk)
-            query_start = 0
+            columns = dim0_fn(expanded[:d0], chunk)  # [C, B, polys, W, L, N]
+            query_start = d0
             for dim_size in parameter.dimensions[1:]:
+                v0 = expanded[query_start : query_start + dim_size]
                 new_cols = []
-                for start in range(0, len(columns), dim_size):
-                    v0 = rest[query_start : query_start + dim_size]
+                for start in range(0, columns.shape[0], dim_size):
                     v1 = columns[start : start + dim_size]
                     new_cols.append(group_fns[dim_size](v0, v1, evaluation_key))
-                columns = new_cols
+                columns = jnp.stack(new_cols, axis=0)
                 query_start += dim_size
             reply.append(fin(columns[0]))
         return reply
