@@ -49,16 +49,23 @@ data = jnp.broadcast_to(
 data = jnp.asarray(data)
 
 
+def fence(y):
+    """Tiny host fetch — the tunnel acks enqueue on block_until_ready, so
+    only a fetch proves execution finished (bench.py:fence)."""
+    leaf = jax.tree_util.tree_leaves(y)[0]
+    return np.asarray(leaf.ravel()[:2])
+
+
 def timeit(label, fn, *args, n=5):
     f = jax.jit(fn)
     t0 = time.perf_counter()
     y = f(*args)
-    jax.block_until_ready(y)
+    fence(y)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(n):
         y = f(*args)
-    jax.block_until_ready(y)
+    fence(y)
     dt = (time.perf_counter() - t0) / n
     print(f"{label}: {dt*1e3:.2f} ms/call (B={B}; compile {compile_s:.0f}s)",
           flush=True)

@@ -128,6 +128,10 @@ class _StagedPnnsResponder:
         ]
 
     def _respond_matrix(self, mi: int, arr, ek):
+        """arr: [B, 2, W, L, N]. Three jits per matrix (rotation chain, BSGS
+        MAC, rotate-and-sum + finalize) — all loops run INSIDE the jits so
+        the host dispatch count per batch stays constant (the tunnel costs
+        ~1 ms per dispatch; see pir.serving._StagedResponder)."""
         server = self.server
         ctx = server.contexts[mi]
         ct_ctx = ctx.ciphertext_context
@@ -143,23 +147,20 @@ class _StagedPnnsResponder:
         def stack_polys(ct):
             return jnp.stack([p.data for p in ct.polys])
 
-        to_eval = self._stage(
-            ("pnns_eval", mi),
-            lambda: jax.vmap(lambda a: stack_polys(bfv.ct_to_eval(mk_ct(a)))),
+        def rotations_one(a, ek):  # [2, W, L, N] -> [J, 2, W, L, N] eval
+            state = mk_ct(a)
+            rotated = []
+            for step in range(J):
+                rotated.append(stack_polys(bfv.ct_to_eval(state)))
+                if step != J - 1:
+                    state = bfv.rotate_columns(state, -1, ek)
+            return jnp.stack(rotated)
+
+        rotations = self._stage(
+            ("pnns_rot", mi, J),
+            lambda: jax.vmap(rotations_one, in_axes=(0, None), out_axes=1),
         )
-        rot1 = self._stage(
-            ("pnns_rot1", mi),
-            lambda: jax.vmap(
-                lambda a, ek: stack_polys(bfv.rotate_columns(mk_ct(a), -1, ek)),
-                in_axes=(0, None),
-            ),
-        )
-        state = arr  # [B, 2, W, L, N]
-        rotated = []
-        for step in range(J):
-            rotated.append(to_eval(state))
-            if step != J - 1:
-                state = rot1(state, ek)
+        rotated_eval = rotations(arr, ek)  # [J, B, 2, W, L, N]
 
         def mac_one(rot_eval):  # [J, 2, W, L, N] for one query
             prods = bsgs_inner_products(server.packed[mi], rot_eval, ct_ctx)
@@ -186,35 +187,28 @@ class _StagedPnnsResponder:
         mac = self._stage(
             ("pnns_mac", mi), lambda: jax.vmap(mac_one, in_axes=1, out_axes=0)
         )
-        per_giant = mac(jnp.stack(rotated))  # [B, G, R, polys, W, L, N]
+        per_giant = mac(rotated_eval)  # [B, G, R, polys, W, L, N]
         G, R = per_giant.shape[1], per_giant.shape[2]
-        rotsum = self._stage(
-            ("pnns_rotsum", mi, J),
-            lambda: jax.vmap(
-                lambda acc, ct, ek: stack_polys(
-                    bfv.ct_add(
-                        pnns.rotate_columns_multi_step(mk_ct(acc), -J, ek),
-                        mk_ct(ct),
+
+        def rotsum_fin_one(giants, ek):  # [G, R, polys, W, L, N] one query
+            outs = []
+            for r in range(R):
+                acc = mk_ct(giants[G - 1, r])
+                for g in reversed(range(G - 1)):
+                    acc = bfv.ct_add(
+                        pnns.rotate_columns_multi_step(acc, -J, ek),
+                        mk_ct(giants[g, r]),
                     )
-                ),
-                in_axes=(0, 0, None),
-            ),
+                out = bfv.ct_to_coeff(bfv.mod_switch_down_to_single(acc))
+                outs.append(stack_polys(out))
+            return jnp.stack(outs)  # [R, polys, W, L, N]
+
+        rotsum_fin = self._stage(
+            ("pnns_rotsum_fin", mi, J, G, R),
+            lambda: jax.vmap(rotsum_fin_one, in_axes=(0, None)),
         )
-        fin = self._stage(
-            ("pnns_fin", mi),
-            lambda: jax.vmap(
-                lambda a: stack_polys(
-                    bfv.ct_to_coeff(bfv.mod_switch_down_to_single(mk_ct(a)))
-                )
-            ),
-        )
-        out = []
-        for r in range(R):
-            acc = per_giant[:, G - 1, r]
-            for g in reversed(range(G - 1)):
-                acc = rotsum(acc, per_giant[:, g, r], ek)
-            out.append(fin(acc))
-        return out  # list over R of [B, polys, W, L, N]
+        out = rotsum_fin(per_giant, ek)  # [B, R, polys, W, L, N]
+        return [out[:, r] for r in range(R)]
 
 
 class BatchedPnnsServer:
