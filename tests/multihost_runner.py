@@ -116,12 +116,30 @@ def main(pid: int, nprocs: int, port: str) -> None:
     chunk = jnp.asarray(
         serving.pack_database_chunk(processed.plaintexts[:per_chunk], d0, ct_ctx)
     )
-    S = B if d0 % B == 0 else (2 if d0 % 2 == 0 else 1)
-    if S > 1:
-        db_mesh = Mesh(np.array(devices[:S]), ("db",))
-        got = meshmod.dim0_partial_psum(chunk, query_eval, ct_ctx, db_mesh)
+    local = jax.local_device_count()
+    if d0 % 2 == 0 and nprocs >= 2:
+        # One device from EACH process: the recursive-doubling ppermute
+        # butterfly crosses the process boundary (the DCN-analogue this
+        # test exists for). A mesh of devices[:2] would sit entirely on
+        # process 0, leaving process 1 with no addressable output shards.
+        db_mesh = Mesh(np.array([devices[0], devices[local]]), ("db",))
+        chunk_np = np.asarray(chunk)
+        qe_np = np.asarray(query_eval)
+        chunk_g = jax.make_array_from_callback(
+            chunk_np.shape,
+            NamedSharding(db_mesh, P(None, "db")),
+            lambda idx: chunk_np[idx],
+        )
+        qe_g = jax.make_array_from_callback(
+            qe_np.shape,
+            NamedSharding(db_mesh, P("db")),
+            lambda idx: qe_np[idx],
+        )
+        got = meshmod.dim0_partial_psum(chunk_g, qe_g, ct_ctx, db_mesh)
         want = serving.dim0_inner_products(chunk, query_eval, ct_ctx)
-        got = np.asarray(mhu.process_allgather(got, tiled=True))
+        # out_specs is P(None): the result is replicated over db_mesh, so
+        # every process holds an addressable copy
+        got = np.asarray(got.addressable_data(0))
         assert (got == np.asarray(want)).all(), "cross-process psum mismatch"
 
     if pid == 0:
