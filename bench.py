@@ -256,7 +256,8 @@ def bench_pnns(db_rows=4096, dim=128, batch=16, n_iters=5):
     return qps
 
 
-def bench_pir_w64(entry_count=1_000_000, entry_size=1, batch=8, n_iters=5):
+def bench_pir_w64(entry_count=1_000_000, entry_size=1, batch=16, n_iters=5):
+    # fenced v5e sweep: batch 8 -> 97 q/s, 16 -> 116 (best), 32 -> 80
     """Secondary: MulPIR on the reference's w64 headline parameter set
     (N=8192, 3x55-bit moduli — RlweBenchmark.swift:27-46), 2-limb path.
     Runs the staged serving pipeline (the TPU default for w64): small
