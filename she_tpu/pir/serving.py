@@ -20,7 +20,6 @@ function serves every batch.
 
 from __future__ import annotations
 
-import functools
 import os
 import math
 from dataclasses import dataclass

@@ -301,6 +301,14 @@ class BatchedPnnsServer:
         amortizes."""
         import os
 
+        out = self._respond_arrays(stacked, evaluation_key, B)
+        return self._assemble_responses(out, B)
+
+    def _respond_arrays(self, stacked, evaluation_key, B):
+        """Raw response arrays (per matrix, per result ct, [B, polys, W, L, N])
+        without host assembly — the serving core."""
+        import os
+
         n_matrices = len(self.packed)
         w64 = any(c.ciphertext_context.nlimbs == 2 for c in self.contexts)
         fused_override = os.environ.get("SHE_TPU_W64_FUSED_SERVING") == "1"
@@ -310,8 +318,7 @@ class BatchedPnnsServer:
         if staged:
             if self._staged is None:
                 self._staged = _StagedPnnsResponder(self)
-            out = self._staged.respond(stacked, evaluation_key, B)
-            return self._assemble_responses(out, B)
+            return self._staged.respond(stacked, evaluation_key, B)
         fused = (not w64) or fused_override
         key = (B, n_matrices, fused)
         if key not in self._jit:
@@ -342,8 +349,7 @@ class BatchedPnnsServer:
                 return jax.vmap(one)(stacked)
 
             self._jit[key] = jax.jit(run) if fused else run
-        out = self._jit[key](stacked, evaluation_key)
-        return self._assemble_responses(out, B)
+        return self._jit[key](stacked, evaluation_key)
 
     def _assemble_responses(self, out, B: int) -> list:
         """out: per matrix, per result ct, [B, polys, W, L, N] arrays."""
