@@ -402,9 +402,9 @@ def bench_pnns_w64(db_rows=4096, dim=128, batch=8, n_iters=5):
 def main():
     # ---- headline FIRST: w32 MulPIR on the 1M-entry reference config ----
     entry_count = int(os.environ.get("BENCH_PIR_ENTRIES", "1000000"))
-    # fenced v5e sweep (2026-08-21): B=32 177 q/s, B=64 266, B=128 328 —
-    # throughput serving is batch-first (SURVEY §7.3); 128 balances q/s
-    # against per-batch latency and compile time.
+    # fenced v5e sweep (2026-08-21): B=32 177 q/s, B=64 266, B=128 808,
+    # B=256 610 (expansion pool crowds the DB digits out of HBM) —
+    # throughput serving is batch-first (SURVEY §7.3); 128 is the knee.
     batch = int(os.environ.get("BENCH_PIR_BATCH", "128"))
     qps = bench_pir(entry_count=entry_count, batch=batch)
     print(
