@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import errors
@@ -125,6 +126,13 @@ class BfvContext:
 # ---------------------------------------------------------------------------
 
 
+# Donated jit: jax sets up XLA input-output aliasing when the donated input
+# matches the output shape/dtype, so the zero output is written into the
+# SAME HBM allocation as the key material — a device-side scrub-then-free
+# (the device analogue of CUtil/zeroize.c's barrier memset).
+_device_scrub = jax.jit(lambda x: jnp.zeros_like(x), donate_argnums=0)
+
+
 @dataclass
 class SecretKey:
     """Ternary secret stored in Eval over the secret-key context
@@ -132,10 +140,13 @@ class SecretKey:
 
     Lifecycle: the reference zeroizes key material on deinit
     (Keys.swift:19-50, Zeroization.swift:1-40). Here `zeroize()` scrubs
-    host numpy buffers in place and deletes device (jax) buffers — freeing
-    the HBM copy; any use after that raises. Also usable as a context
-    manager (`with generate_secret_key(ctx) as sk: ...`), and zeroized as
-    a best-effort fallback when garbage-collected."""
+    host numpy buffers in place, and scrubs-then-frees device (jax)
+    buffers: a donated jit overwrites the HBM allocation with zeros
+    (input-output aliasing makes XLA write the zero output into the
+    donated input buffer) before the handle is deleted; any use after
+    that raises. Also usable as a context manager
+    (`with generate_secret_key(ctx) as sk: ...`), and zeroized as a
+    best-effort fallback when garbage-collected."""
 
     poly: PolyRq  # eval, [W, L_all, N]
 
@@ -147,6 +158,15 @@ class SecretKey:
 
                 _z(np.ascontiguousarray(data) if not data.flags.c_contiguous else data)
         else:
+            try:
+                # On TPU/GPU the donated jit writes zeros over the HBM
+                # allocation (input-output aliasing); XLA:CPU ignores
+                # donation, where the explicit delete below frees the copy.
+                scrubbed = _device_scrub(data)
+                scrubbed.block_until_ready()
+                scrubbed.delete()
+            except Exception:
+                pass
             try:
                 data.delete()
             except Exception:

@@ -4,6 +4,11 @@ Reference: Sources/PrivateInformationRetrieval/KeywordPir/{KeywordPirProtocol,
 CuckooTable,HashBucket,KeywordDatabase}.swift. Wire-compatible bucket
 serialization (u8 slot count; per entry u64-LE keyword hash, u16-LE value
 size, value bytes), SHA256-derived bucket indices and shard indices.
+
+**VARIABLE-TIME (client-side)**: `HashBucket.find`'s early-exit scan and
+the `hash_indices` rejection loop branch on the client's keyword; both run
+only on the client over its own data (the query the server sees is an
+encrypted index). See docs/SIDE_CHANNELS.md.
 """
 
 from __future__ import annotations

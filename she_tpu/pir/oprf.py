@@ -8,6 +8,16 @@ RFC 9497 ciphersuite P384-SHA384, mode VOPRF 0x01).
 Curve arithmetic uses Python big ints (host-side; group operations are
 microseconds and not a serving bottleneck). Element wire format is SEC1
 compressed (49 bytes); scalars are 48-byte big-endian.
+
+**VARIABLE-TIME**: the double-and-add scalar ladder and Python big-int
+arithmetic branch on secret key/blind bits (the reference's equivalent of
+`variableTime: true`, Scalar.swift:203-208). See docs/SIDE_CHANNELS.md for
+the exposure analysis; the reference instead delegates to swift-crypto's
+constant-time P384._VOPRF (SymmetricPirProtocol.swift:20-30).
+
+Correctness anchors: RFC 9380 §J.2.1 hash-to-curve vector, RFC 9497 §A.4
+DeriveKeyPair vector, and cross-checks against the `cryptography` package's
+P-384 (tests/test_symmetric_pir.py).
 """
 
 from __future__ import annotations
@@ -117,21 +127,25 @@ def serialize_scalar(s: int) -> bytes:
 # --- RFC 9380 hash-to-curve (P384_XMD:SHA-384_SSWU_RO_) ---------------------
 
 
-def _expand_message_xmd(msg: bytes, dst: bytes, length: int) -> bytes:
-    b_in_bytes = 48  # SHA-384 output
-    s_in_bytes = 128  # SHA-384 block size
+def _expand_message_xmd(
+    msg: bytes, dst: bytes, length: int, hash_fn=hashlib.sha384
+) -> bytes:
+    """RFC 9380 §5.3.1. hash_fn parameterized so the RFC's SHA-256 expander
+    vectors (§K.1) can exercise the same code path the suite uses."""
+    b_in_bytes = hash_fn().digest_size
+    s_in_bytes = hash_fn().block_size
     ell = -(-length // b_in_bytes)
     assert ell <= 255 and len(dst) <= 255
     dst_prime = dst + bytes([len(dst)])
     msg_prime = (
         b"\x00" * s_in_bytes + msg + length.to_bytes(2, "big") + b"\x00" + dst_prime
     )
-    b0 = hashlib.sha384(msg_prime).digest()
-    bi = hashlib.sha384(b0 + b"\x01" + dst_prime).digest()
+    b0 = hash_fn(msg_prime).digest()
+    bi = hash_fn(b0 + b"\x01" + dst_prime).digest()
     out = bi
     for i in range(2, ell + 1):
         xored = bytes(a ^ b for a, b in zip(b0, bi))
-        bi = hashlib.sha384(xored + bytes([i]) + dst_prime).digest()
+        bi = hash_fn(xored + bytes([i]) + dst_prime).digest()
         out += bi
     return out[:length]
 
@@ -275,6 +289,21 @@ def verify_proof(a_point, b_point, c_points, d_points, proof: bytes) -> bool:
     t2 = point_add(point_mul(s, a_point), point_mul(c, b_point))
     t3 = point_add(point_mul(s, m_point), point_mul(c, z_point))
     return _challenge(b_point, m_point, z_point, t2, t3) == c
+
+
+def derive_key_pair(seed: bytes, info: bytes, mode: int = MODE_VOPRF) -> int:
+    """RFC 9497 §3.2 DeriveKeyPair for the P384-SHA384 ciphersuite.
+    Verified against the RFC's Appendix A.4 key-derivation vectors
+    (Seed = 0xa3*32, KeyInfo = "test key")."""
+    context = b"OPRFV1-" + bytes([mode]) + b"-" + _SUITE
+    derive_input = seed + _i2osp2(len(info)) + info
+    for counter in range(256):
+        sk = _hash_to_field(
+            derive_input + bytes([counter]), b"DeriveKeyPair" + context, 1, N
+        )[0]
+        if sk != 0:
+            return sk
+    raise ValueError("DeriveKeyPairError: no valid scalar in 256 attempts")
 
 
 @dataclass

@@ -251,3 +251,21 @@ def test_zeroize_native():
     zeroize(buf)
     assert buf == bytearray(len(buf))
     assert get_lib() is not None  # toolchain is available in this image
+
+
+def test_cli_warm_pir(capsys):
+    # she-tpu-warm e2e at toy shapes: builds the serving programs, runs one
+    # batch, asserts the warm-run decrypt check passed (exit 0)
+    from she_tpu.cli import warm
+
+    rc = warm.main(
+        [
+            "pir",
+            "--params", "insecure_n_512_logq_4x60_logt_20",
+            "--scalar-bits", "64",
+            "--entries", "200",
+            "--entry-size", "3",
+            "--batch", "2",
+        ]
+    )
+    assert rc == 0

@@ -53,6 +53,22 @@ def test_secret_key_zeroize_deletes_device_buffer():
         np.asarray(data)
 
 
+def test_device_scrub_donates_and_zeros():
+    # the scrub jit must (a) produce zeros and (b) consume (donate) the
+    # input buffer so XLA writes the zeros over the original allocation.
+    # XLA:CPU does not implement donation (the in-place HBM scrub is a
+    # TPU/GPU behavior), so (b) is asserted only off-CPU.
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((2, 3, 8), dtype=jnp.uint32)
+    y = bfv._device_scrub(x)
+    assert not np.asarray(y).any()
+    if jax.default_backend() != "cpu":
+        with pytest.raises(Exception):
+            np.asarray(x)  # donated input handle is invalidated
+
+
 def test_secret_key_zeroize_scrubs_host_numpy():
     ep = paramsmod.from_predefined("insecure_n_8_logq_5x18_logt_5", 32)
     ctx = bfv.get_bfv_context(ep)
