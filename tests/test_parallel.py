@@ -164,3 +164,29 @@ def test_batch_parallel_pnns_response():
             for ec, gc in zip(em.ciphertexts, gm.ciphertexts):
                 for epoly, gpoly in zip(ec.polys, gc.polys):
                     assert (np.asarray(epoly.data) == np.asarray(gpoly.data)).all()
+
+
+def test_two_axis_response_bit_equal(setup):
+    """One shard_map serving program on a (batch, db) mesh: query batch
+    data-parallel x database-contraction tensor-parallel, bit-identical to
+    the single-device batched server (VERDICT r4 #5)."""
+    ctx, sk, parameter, database, processed, client, ek = setup
+    server = serving.BatchedMulPirServer(parameter, ctx, [processed])
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = jax.sharding.Mesh(devices, ("batch", "db"))
+    indices = [int(i) % 16 for i in range(4)]
+    queries = [client.generate_query([i], sk) for i in indices]
+
+    out = meshmod.two_axis_response(server, queries, ek, mesh)
+    stacked, n_ct, indices_count = server.stack_queries(queries)
+    expect = server._respond_arrays(stacked, ek, len(queries), n_ct, indices_count)
+    assert len(out) == len(expect) == 1
+    assert len(out[0]) == len(expect[0])
+    for got_chunk, exp_chunk in zip(out[0], expect[0]):
+        assert (np.asarray(got_chunk) == np.asarray(exp_chunk)).all()
+
+    # and the responses decrypt correctly
+    responses = server._assemble_responses(out, len(queries))
+    for r, i in zip(responses, indices):
+        got = client.decrypt(r, [i], sk)
+        assert got[0][:1] == database[i]
