@@ -129,8 +129,21 @@ def acc_reduce(partials):
 
 timed("accumulate+reduce only", acc_reduce, partials_host)
 
+# 4b. VPU (u128 limb MAC) dim0 for comparison — at w64's small d0/C the
+# MXU digit machinery may lose to the plain lazy-accumulator kernel
+chunk_dev = jnp.asarray(chunk)
+
+
+@jax.jit
+def dim0_vpu(q_eval):
+    return serving.dim0_inner_products(chunk_dev, q_eval, ct_ctx)
+
+
+r_vpu = timed("dim0 VPU full (u128 MAC+reduce)", dim0_vpu, q_eval)
+
 # 5. inverse NTT of results [C, P, W, L, N]
 res = dim0_full(q_eval)
+assert (np.asarray(r_vpu) == np.asarray(res)).all(), "VPU/MXU dim0 mismatch"
 
 @jax.jit
 def inv_all(res):

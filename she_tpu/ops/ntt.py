@@ -158,6 +158,71 @@ def fwd_stage(W, x, w, ws, qb, q2b, blocks: int, t: int):
     )
 
 
+def fwd_stage_pair(W, x, w1, w1s, w2, w2s, w3, w3s, qb, q2b, m: int, t: int):
+    """Two consecutive forward stages fused (radix-4): the [..., L, m, 4, t]
+    view computes both butterflies before materializing — half the stage
+    relayouts of the radix-2 pipeline (the measured binding constraint: w32
+    and w64 run at the same elements*stages/sec despite 4x different op
+    counts). Bit-identical values: same twiddles, same lazy ranges
+    ([0, 4q) in, [0, 4q) out); mul_shoup_lazy is exact for any input.
+
+    m = first-stage block count, t = quarter length (n >> (log2m + 2));
+    w1 [L, m, 1] first-stage roots, w2/w3 [L, m, 1] second-stage roots for
+    child blocks 2i / 2i+1."""
+    batch = x[0].shape[:-2]
+    L = x[0].shape[-2]
+    xv = _wmap(lambda a: a.reshape(batch + (L, m, 4, t)), x)
+    a = _wslice(xv, (..., slice(None), 0, slice(None)))
+    b = _wslice(xv, (..., slice(None), 1, slice(None)))
+    c = _wslice(xv, (..., slice(None), 2, slice(None)))
+    d = _wslice(xv, (..., slice(None), 3, slice(None)))
+    ah = _lazy_sub_2q(W, a, q2b)
+    bh = _lazy_sub_2q(W, b, q2b)
+    w1c = W.mul_shoup_lazy(c, w1, w1s, qb)
+    w1d = W.mul_shoup_lazy(d, w1, w1s, qb)
+    A1 = _wrap_add(W, ah, w1c)  # [0, 4q)
+    B1 = _wrap_add(W, bh, w1d)
+    C1 = _wrap_add(W, _wrap_sub(W, ah, w1c), q2b)
+    D1 = _wrap_add(W, _wrap_sub(W, bh, w1d), q2b)
+    A1h = _lazy_sub_2q(W, A1, q2b)
+    C1h = _lazy_sub_2q(W, C1, q2b)
+    w2B = W.mul_shoup_lazy(B1, w2, w2s, qb)
+    w3D = W.mul_shoup_lazy(D1, w3, w3s, qb)
+    A2 = _wrap_add(W, A1h, w2B)
+    B2 = _wrap_add(W, _wrap_sub(W, A1h, w2B), q2b)
+    C2 = _wrap_add(W, C1h, w3D)
+    D2 = _wrap_add(W, _wrap_sub(W, C1h, w3D), q2b)
+    return tuple(
+        jnp.stack([qa, qb_, qc, qd], axis=-2).reshape(batch + (L, m * 4 * t))
+        for qa, qb_, qc, qd in zip(A2, B2, C2, D2)
+    )
+
+
+def inv_stage_pair(W, x, w1, w1s, w2, w2s, w3, w3s, qb, q2b, m: int, t: int):
+    """Two consecutive inverse stages fused (radix-4): first the span-t
+    stage (block count 2m, roots w2/w3 for children 2i / 2i+1), then the
+    span-2t stage (block count m, root w1). Inputs/outputs in [0, 2q)."""
+    batch = x[0].shape[:-2]
+    L = x[0].shape[-2]
+    xv = _wmap(lambda a: a.reshape(batch + (L, m, 4, t)), x)
+    a = _wslice(xv, (..., slice(None), 0, slice(None)))
+    b = _wslice(xv, (..., slice(None), 1, slice(None)))
+    c = _wslice(xv, (..., slice(None), 2, slice(None)))
+    d = _wslice(xv, (..., slice(None), 3, slice(None)))
+    A1 = _lazy_sub_2q(W, _wrap_add(W, a, b), q2b)  # [0, 2q)
+    B1 = W.mul_shoup_lazy(_wrap_add(W, _wrap_sub(W, a, b), q2b), w2, w2s, qb)
+    C1 = _lazy_sub_2q(W, _wrap_add(W, c, d), q2b)
+    D1 = W.mul_shoup_lazy(_wrap_add(W, _wrap_sub(W, c, d), q2b), w3, w3s, qb)
+    A2 = _lazy_sub_2q(W, _wrap_add(W, A1, C1), q2b)
+    C2 = W.mul_shoup_lazy(_wrap_add(W, _wrap_sub(W, A1, C1), q2b), w1, w1s, qb)
+    B2 = _lazy_sub_2q(W, _wrap_add(W, B1, D1), q2b)
+    D2 = W.mul_shoup_lazy(_wrap_add(W, _wrap_sub(W, B1, D1), q2b), w1, w1s, qb)
+    return tuple(
+        jnp.stack([qa, qb_, qc, qd], axis=-2).reshape(batch + (L, m * 4 * t))
+        for qa, qb_, qc, qd in zip(A2, B2, C2, D2)
+    )
+
+
 def inv_stage(W, x, w, ws, qb, q2b, blocks: int, t: int):
     """One inverse butterfly stage (m > 1) over [..., L, chunk] words."""
     batch = x[0].shape[:-2]
@@ -194,40 +259,87 @@ def inv_final_stage(W, x, nb, nbs, nwb, nwbs, qb, q2b, t: int):
     )
 
 
+def _use_radix4(W) -> bool:
+    """Radix-4 default for the 2-limb path only: fenced v5e A/B
+    (benchmarks/ntt_radix4_ab.py): w64 1.06x, w32 0.99x."""
+    import os
+
+    flag = os.environ.get("SHE_TPU_NTT_RADIX4")
+    if flag is not None:
+        return flag == "1"
+    return W is W64
+
+
 def forward_ntt_arrays(x, n: int, W, q, q2, roots, roots_sh):
     """Full forward NTT with explicit device table arrays (words of [L, 1]
     scalars and [L, N] roots). Used by forward_ntt and by the limb-sharded
-    path (parallel/sharded.py), where the tables are shard_map operands."""
+    path (parallel/sharded.py), where the tables are shard_map operands.
+
+    Stages run as fused radix-4 pairs by default (SHE_TPU_NTT_RADIX4=0 for
+    the plain radix-2 pipeline): the staged NTT is bound by per-stage
+    relayout, not arithmetic (w32 and w64 measure the same
+    elements*stages/sec), so halving the stage count is the lever."""
     log2n = nt.log2_exact(n)
     qb = _wmap(lambda a: a[:, :, None], q)  # [L, 1, 1]
     q2b = _wmap(lambda a: a[:, :, None], q2)
-    for log2m in range(log2n):
+    log2m = 0
+    radix4 = _use_radix4(W)
+    while log2m < log2n:
         m = 1 << log2m
         t = n >> (log2m + 1)
-        w = _wmap(lambda a: a[:, m : 2 * m, None], roots)  # [L, m, 1]
-        ws = _wmap(lambda a: a[:, m : 2 * m, None], roots_sh)
-        x = fwd_stage(W, x, w, ws, qb, q2b, m, t)
+        if radix4 and log2m + 1 < log2n:
+            w1 = _wmap(lambda a: a[:, m : 2 * m, None], roots)
+            w1s = _wmap(lambda a: a[:, m : 2 * m, None], roots_sh)
+            w2 = _wmap(lambda a: a[:, 2 * m : 4 * m : 2, None], roots)
+            w2s = _wmap(lambda a: a[:, 2 * m : 4 * m : 2, None], roots_sh)
+            w3 = _wmap(lambda a: a[:, 2 * m + 1 : 4 * m : 2, None], roots)
+            w3s = _wmap(lambda a: a[:, 2 * m + 1 : 4 * m : 2, None], roots_sh)
+            x = fwd_stage_pair(
+                W, x, w1, w1s, w2, w2s, w3, w3s, qb, q2b, m, t >> 1
+            )
+            log2m += 2
+        else:
+            w = _wmap(lambda a: a[:, m : 2 * m, None], roots)  # [L, m, 1]
+            ws = _wmap(lambda a: a[:, m : 2 * m, None], roots_sh)
+            x = fwd_stage(W, x, w, ws, qb, q2b, m, t)
+            log2m += 1
     return W.reduce_4q(x, q)
 
 
 def inverse_ntt_arrays(x, n: int, W, q, q2, iroots, iroots_sh, ninv, ninv_sh, ninvw, ninvw_sh):
-    """Full inverse NTT with explicit device table arrays."""
+    """Full inverse NTT with explicit device table arrays. Fused radix-4
+    stage pairs by default (see forward_ntt_arrays); the m=1 final stage
+    (n^-1 fold) always runs alone."""
     log2n = nt.log2_exact(n)
     qb = _wmap(lambda a: a[:, :, None], q)
     q2b = _wmap(lambda a: a[:, :, None], q2)
-    for log2m in reversed(range(log2n)):
+    radix4 = _use_radix4(W)
+    log2m = log2n - 1
+    while log2m >= 0:
         m = 1 << log2m
         t = n >> (log2m + 1)
-        if m > 1:
+        if radix4 and log2m >= 2:
+            mL = m >> 1
+            w1 = _wmap(lambda a: a[:, mL : 2 * mL, None], iroots)
+            w1s = _wmap(lambda a: a[:, mL : 2 * mL, None], iroots_sh)
+            w2 = _wmap(lambda a: a[:, 2 * mL : 4 * mL : 2, None], iroots)
+            w2s = _wmap(lambda a: a[:, 2 * mL : 4 * mL : 2, None], iroots_sh)
+            w3 = _wmap(lambda a: a[:, 2 * mL + 1 : 4 * mL : 2, None], iroots)
+            w3s = _wmap(lambda a: a[:, 2 * mL + 1 : 4 * mL : 2, None], iroots_sh)
+            x = inv_stage_pair(W, x, w1, w1s, w2, w2s, w3, w3s, qb, q2b, mL, t)
+            log2m -= 2
+        elif m > 1:
             w = _wmap(lambda a: a[:, m : 2 * m, None], iroots)
             ws = _wmap(lambda a: a[:, m : 2 * m, None], iroots_sh)
             x = inv_stage(W, x, w, ws, qb, q2b, m, t)
+            log2m -= 1
         else:
             nb = _wmap(lambda a: a[:, :, None], ninv)
             nbs = _wmap(lambda a: a[:, :, None], ninv_sh)
             nwb = _wmap(lambda a: a[:, :, None], ninvw)
             nwbs = _wmap(lambda a: a[:, :, None], ninvw_sh)
             x = inv_final_stage(W, x, nb, nbs, nwb, nwbs, qb, q2b, t)
+            log2m -= 1
     return x
 
 

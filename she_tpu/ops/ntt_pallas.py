@@ -317,9 +317,11 @@ def _inv_kernel(Wl, L, R, C, log2R, log2n, sub, x_ref, qr_ref, ql_ref, q2r_ref,
 
 def _sub_block(Wl: int, n: int) -> int:
     """Polynomials per inner iteration: Mosaic's stack holds ~60x the
-    working set, so keep sub * poly_bytes around 64 KB."""
+    working set, so keep sub * poly_bytes around a fixed budget
+    (SHE_TPU_PALLAS_SUB_KB, default 64 KB)."""
     per = Wl * n * 4
-    return max(1, (64 << 10) // per)
+    budget_kb = int(os.environ.get("SHE_TPU_PALLAS_SUB_KB", "64"))
+    return max(1, (budget_kb << 10) // per)
 
 
 def _batch_tile(Wl: int, n: int, B: int, sub: int) -> int:
