@@ -194,9 +194,9 @@ def bench_pir(entry_count=1_000_000, entry_size=1, batch=8, n_iters=3, windows=8
     # (stacked tensors in -> response arrays out, ONE dispatch per batch).
     # A production server receives the wire batch as stacked tensors
     # (pir.service) — and the tunnel's RPC latency degrades >5x for hours
-    # at a time, which otherwise swamps the measurement with the ~400
-    # per-call stack/assembly dispatches (chip compute itself, measured by
-    # the scan-chained NTT bench, varies only a few percent).
+    # at a time, which otherwise swamps the measurement with per-call
+    # stack/assembly dispatches (chip compute itself, measured by the
+    # scan-chained NTT bench, varies only a few percent).
     stacked, n_ct, indices_count = server.stack_queries(queries)
     qps = 0.0
     rates = []
@@ -211,7 +211,22 @@ def bench_pir(entry_count=1_000_000, entry_size=1, batch=8, n_iters=3, windows=8
         log(f"PIR steady state window {window}: {rates[-1]:.2f} q/s")
     log(f"PIR steady state: {qps:.2f} queries/sec (batch={batch}, "
         f"best of {windows}; window spread {min(rates):.0f}-{max(rates):.0f})")
-    return qps
+
+    # End-to-end: query objects in -> assembled Response objects out,
+    # pipelined over batches (single-dispatch device stacking; assembly of
+    # batch i-1 overlaps batch i's async device compute). Reported
+    # alongside the serving core (VERDICT r4 #3: publish both).
+    e2e = 0.0
+    for window in range(3):
+        t0 = time.perf_counter()
+        responses = server.compute_response_stream(
+            [queries] * n_iters, ek
+        )
+        fence(responses[-1].ciphertexts[0][0].polys[0].data)
+        e2e = max(e2e, batch * n_iters / (time.perf_counter() - t0))
+    log(f"PIR end-to-end (pipelined): {e2e:.2f} queries/sec (batch={batch}, "
+        f"{100 * e2e / max(qps, 1e-9):.0f}% of serving core)")
+    return qps, e2e
 
 
 def bench_pnns(db_rows=4096, dim=128, batch=16, n_iters=5):
@@ -273,8 +288,10 @@ def bench_pnns(db_rows=4096, dim=128, batch=16, n_iters=5):
     return qps
 
 
-def bench_pir_w64(entry_count=1_000_000, entry_size=1, batch=16, n_iters=5):
-    # fenced v5e sweep: batch 8 -> 97 q/s, 16 -> 116 (best), 32 -> 80
+def bench_pir_w64(entry_count=1_000_000, entry_size=1, batch=96, n_iters=5):
+    # fenced v5e sweep (r5, staged tensor-first pipeline + radix-4 NTT):
+    # batch 16 -> 158 q/s, 32 -> 220, 64 -> 246, 96 -> 375 (radix-4 NTT +
+    # VPU dim0 + batch amortization; the expansion pool grows ~linearly in B)
     """Secondary: MulPIR on the reference's w64 headline parameter set
     (N=8192, 3x55-bit moduli — RlweBenchmark.swift:27-46), 2-limb path.
     Runs the staged serving pipeline (the TPU default for w64): small
@@ -406,7 +423,7 @@ def main():
     # B=256 610 (expansion pool crowds the DB digits out of HBM) —
     # throughput serving is batch-first (SURVEY §7.3); 128 is the knee.
     batch = int(os.environ.get("BENCH_PIR_BATCH", "128"))
-    qps = bench_pir(entry_count=entry_count, batch=batch)
+    qps, e2e = bench_pir(entry_count=entry_count, batch=batch)
     print(
         json.dumps(
             {
@@ -417,6 +434,10 @@ def main():
             }
         ),
         flush=True,
+    )
+    log(
+        f"secondary: end-to-end MulPIR {e2e:.2f} q/s "
+        f"({e2e / SWIFT_CPU_BASELINE_QUERIES_PER_SEC:.1f}x baseline)"
     )
 
     # ---- secondaries, each bounded by the remaining deadline budget ----

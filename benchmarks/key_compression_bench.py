@@ -1,0 +1,69 @@
+"""Headline MulPIR config under the three key-compression modes
+(MulPir.swift:86-109): evaluation-key size, expansion cost (extra Galois
+applications for missing keys), and fenced serving-core q/s per mode.
+
+Usage: python benchmarks/key_compression_bench.py [entries] [batch]
+"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax
+
+from she_tpu import params as paramsmod
+from she_tpu.bfv import bfv
+from she_tpu.io import proto_conversion as pc
+from she_tpu.pir import index_pir as ip, serving
+from she_tpu.rng.ctr_drbg import nist_aes128_ctr
+
+det = lambda t: nist_aes128_ctr((t * 32)[:32])
+entries = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+
+ep = paramsmod.from_predefined("n_4096_logq_27_28_28_logt_5", scalar_bits=32)
+ctx = bfv.get_bfv_context(ep)
+sk = bfv.generate_secret_key(ctx, det(b"s"))
+rng = np.random.default_rng(0)
+values = rng.integers(0, 256, size=entries, dtype=np.uint8)
+database = [bytes([v]) for v in values]
+
+
+def fence(x):
+    return np.asarray(x[..., :2])
+
+
+for mode in (
+    ip.PirKeyCompression.NO_COMPRESSION,
+    ip.PirKeyCompression.HYBRID,
+    ip.PirKeyCompression.MAX,
+):
+    config = ip.IndexPirConfig(
+        entry_count=entries, entry_size_in_bytes=1, dimension_count=2,
+        batch_size=1, uneven_dimensions=True, key_compression=mode)
+    parameter = ip.generate_parameter(config, ctx)
+    processed = ip.MulPirServer.process(database, ctx, parameter)
+    client = ip.MulPirClient(parameter, ctx)
+    ek = client.generate_evaluation_key(sk, det(b"k"))
+    ek_bytes = len(pc.evaluation_key_to_proto(ek).SerializeToString())
+    server = serving.BatchedMulPirServer(parameter, ctx, [processed])
+    indices = [int(rng.integers(0, entries)) for _ in range(B)]
+    queries = [client.generate_query([i], sk) for i in indices]
+    t0 = time.perf_counter()
+    responses = server.compute_response_batch(queries, ek)
+    fence(responses[0].ciphertexts[0][0].polys[0].data)
+    compile_s = time.perf_counter() - t0
+    got = client.decrypt(responses[0], [indices[0]], sk)
+    assert got[0][:1] == database[indices[0]], f"{mode} decrypt mismatch"
+    stacked, n_ct, ic = server.stack_queries(queries)
+    best = 0.0
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = server._respond_arrays(stacked, ek, B, n_ct, ic)
+        fence(out[0][0])
+        best = max(best, B * 3 / (time.perf_counter() - t0))
+    print(
+        f"{mode.name}: galois_keys={len(parameter.evaluation_key_config.galois_elements)} "
+        f"ek={ek_bytes/1e6:.2f} MB, serving core {best:.1f} q/s "
+        f"(B={B}, compile+first {compile_s:.0f}s)",
+        flush=True,
+    )

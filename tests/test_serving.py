@@ -190,3 +190,43 @@ def test_batched_server_mxu_dim0_matches(setup, monkeypatch):
         for a, b in zip(r.ciphertexts[0], want.ciphertexts[0]):
             for pa, pb in zip(a.polys, b.polys):
                 assert (np.asarray(pa.data) == np.asarray(pb.data)).all()
+
+
+@pytest.mark.parametrize(
+    "compression", [ip.PirKeyCompression.HYBRID, ip.PirKeyCompression.MAX]
+)
+def test_batched_server_key_compression(compression):
+    """MulPIR e2e through the batched server under hybrid/max key
+    compression (MulPir.swift:86-109): fewer Galois keys, expansion
+    applies the largest available element repeatedly; bit-identical to the
+    reference-path server."""
+    ep = paramsmod.from_predefined("insecure_n_8_logq_5x18_logt_5", 32)
+    ctx = bfv.get_bfv_context(ep)
+    sk = bfv.generate_secret_key(ctx, det_rng(b"s"))
+    config = ip.IndexPirConfig(
+        entry_count=24,
+        entry_size_in_bytes=1,
+        dimension_count=2,
+        batch_size=1,
+        uneven_dimensions=True,
+        key_compression=compression,
+    )
+    parameter = ip.generate_parameter(config, ctx)
+    rng = np.random.default_rng(13)
+    database = [bytes([int(v)]) for v in rng.integers(0, 256, size=24)]
+    processed = ip.MulPirServer.process(database, ctx, parameter)
+    client = ip.MulPirClient(parameter, ctx)
+    ek = client.generate_evaluation_key(sk, det_rng(b"k"))
+    reference_server = ip.MulPirServer(parameter, ctx, [processed])
+    batched_server = serving.BatchedMulPirServer(parameter, ctx, [processed])
+    indices = [0, 13, 23]
+    queries = [client.generate_query([i], sk) for i in indices]
+    responses = batched_server.compute_response_batch(queries, ek)
+    for i, (index, query) in enumerate(zip(indices, queries)):
+        got = client.decrypt(responses[i], [index], sk)
+        assert got[0][:1] == database[index]
+        ref = reference_server.compute_response(query, ek)
+        for ref_reply, got_reply in zip(ref.ciphertexts, responses[i].ciphertexts):
+            for rc, gc in zip(ref_reply, got_reply):
+                for rp, gp in zip(rc.polys, gc.polys):
+                    assert (np.asarray(rp.data) == np.asarray(gp.data)).all()
