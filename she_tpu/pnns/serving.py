@@ -281,12 +281,60 @@ class BatchedPnnsServer:
             for mi in range(n_matrices)
         ]
 
+    def stack_queries_device(self, queries: list) -> list:
+        """stack_queries as ONE cached jitted dispatch (see
+        pir.serving.BatchedMulPirServer.stack_queries_device — the eager
+        per-query stacks dominate end-to-end latency through the tunnel)."""
+        import jax
+
+        n_matrices = len(queries[0].ciphertext_matrices)
+        n_polys = len(queries[0].ciphertext_matrices[0].ciphertexts[0].polys)
+        B = len(queries)
+        key = (B, n_matrices, n_polys)
+        jits = self.__dict__.setdefault("_stack_jits", {})
+        if key not in jits:
+
+            def stk(flat):
+                out = []
+                for mi in range(n_matrices):
+                    per_q = []
+                    for b in range(B):
+                        base = (b * n_matrices + mi) * n_polys
+                        per_q.append(jnp.stack(flat[base : base + n_polys]))
+                    out.append(jnp.stack(per_q))
+                return out
+
+            jits[key] = jax.jit(stk)
+        flat = [
+            p.data
+            for q in queries
+            for m in q.ciphertext_matrices
+            for p in m.ciphertexts[0].polys
+        ]
+        return jits[key](flat)
+
     def compute_response_batch(self, queries: list, evaluation_key) -> list:
         """queries: list of pnns.Query (single-row query matrices)."""
-        stacked = self.stack_queries(queries)
+        stacked = self.stack_queries_device(queries)
         return self.compute_response_batch_from_stacked(
             stacked, evaluation_key, len(queries)
         )
+
+    def compute_response_stream(self, batches: list, evaluation_key) -> list:
+        """Pipelined end-to-end serving over query batches (assembly of
+        batch i-1 overlaps batch i's async device compute)."""
+        pending = None
+        results = []
+        for queries in batches:
+            B = len(queries)
+            stacked = self.stack_queries_device(queries)
+            out = self._respond_arrays(stacked, evaluation_key, B)
+            if pending is not None:
+                results.extend(self._assemble_responses(*pending))
+            pending = (out, B)
+        if pending is not None:
+            results.extend(self._assemble_responses(*pending))
+        return results
 
     def compute_response_batch_from_stacked(self, stacked, evaluation_key, B):
         """stacked: [n_matrices] list of [B, 2, W, L, N] (possibly sharded
