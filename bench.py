@@ -288,10 +288,10 @@ def bench_pnns(db_rows=4096, dim=128, batch=16, n_iters=5):
     return qps
 
 
-def bench_pir_w64(entry_count=1_000_000, entry_size=1, batch=96, n_iters=5):
+def bench_pir_w64(entry_count=1_000_000, entry_size=1, batch=128, n_iters=5):
     # fenced v5e sweep (r5, staged tensor-first pipeline + radix-4 NTT):
-    # batch 16 -> 158 q/s, 32 -> 220, 64 -> 246, 96 -> 375 (radix-4 NTT +
-    # VPU dim0 + batch amortization; the expansion pool grows ~linearly in B)
+    # batch 16 -> 158 q/s, 32 -> 220, 64 -> 246, 96 -> 375, 128 -> 403-421
+    # (radix-4 NTT + VPU dim0 + batch amortization + donated expansion pool)
     """Secondary: MulPIR on the reference's w64 headline parameter set
     (N=8192, 3x55-bit moduli — RlweBenchmark.swift:27-46), 2-limb path.
     Runs the staged serving pipeline (the TPU default for w64): small

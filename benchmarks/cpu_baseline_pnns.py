@@ -13,7 +13,7 @@ import sys
 import time
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("SHE_TPU_STAGED_SERVING", "1")
+os.environ.setdefault("SHE_TPU_STAGED_SERVING", "0")
 
 import numpy as np
 

@@ -3,7 +3,7 @@
 Same derivation as benchmarks/cpu_baseline.py (the reference publishes no
 numbers and no Swift toolchain exists here): run the EXACT w64 serving
 workload of bench.bench_pir_w64 — 1M x 1B keyword DB, n_8192_logq_3x55_
-logt_24, staged pipeline — on XLA:CPU and report q/s per core; a
+logt_24, eager-vmap executor (the staged-stage compile is pathological on XLA:CPU at this N) — on XLA:CPU and report q/s per core; a
 production 16-core host bound is cores * per-core rate. XLA:CPU compiles
 the same u32-limb kernels to AVX-512, which per core is at least as fast
 as the reference's scalar UInt64/UInt128 Swift loops on this algorithm, so
@@ -16,7 +16,7 @@ import sys
 import time
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("SHE_TPU_STAGED_SERVING", "1")
+os.environ.setdefault("SHE_TPU_STAGED_SERVING", "0")
 
 import numpy as np
 

@@ -97,41 +97,9 @@ prod = timeit("dims1 ct-ct BEHZ + relin", lambda: group_fn(v0, cols[:dim1], ek))
 fin = st._stage(("finalize",), st._make_finalize_fn())
 timeit("finalize (modswitch+coeff)", lambda: fin(prod))
 
-# -- per-level expansion costs (cached level jits) ---------------------------
-from she_tpu.io import serialize as ser
-from she_tpu.utils import nt
-
-plan = serving.build_expansion_plan(E)
-log2n = nt.log2_exact(ctx.degree)
-row_of = {0: 0}
-next_row = 1
-pool = stacked[0][None]
-for level_index, level in enumerate(plan.levels):
-    if not level:
-        continue
-    log_step = level_index + 1
-    shift = 1 << (log_step - 1)
-    target_element = (1 << (log2n - log_step + 1)) + 1
-    element = max(e for e in ek.galois_key.keys if e <= target_element)
-    apply_count = 1 << (
-        ser.floor_log2(target_element - 1) - ser.floor_log2(element - 1)
-    )
-    parent_rows = tuple(row_of[p] for p, _, _ in level)
-    step = st._stage(
-        ("expand", element, apply_count, shift, parent_rows),
-        st._make_level_fn(element, apply_count, shift, parent_rows),
-    )
-    cur_pool = pool
-    pool = timeit(
-        f"  level {log_step}: {len(level)} nodes x B={B} key-switches",
-        lambda: step(cur_pool, ek),
-        n=3,
-    )
-    n = len(level)
-    for i, (_, c0_slot, c1_slot) in enumerate(level):
-        row_of[c0_slot] = next_row + i
-        row_of[c1_slot] = next_row + n + i
-    next_row += 2 * n
+# (per-level timing removed: level jits now donate the pre-allocated
+# expansion pool, so a level step cannot be re-invoked on the same buffer
+# outside the managed _expand_staged flow)
 
 # -- steady state for reference ---------------------------------------------
 for window in range(4):

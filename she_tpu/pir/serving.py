@@ -440,9 +440,9 @@ class _StagedResponder:
         self.server = server
         self._jits: dict = {}
 
-    def _stage(self, key, make):
+    def _stage(self, key, make, donate: tuple = ()):
         if key not in self._jits:
-            self._jits[key] = jax.jit(make())
+            self._jits[key] = jax.jit(make(), donate_argnums=donate)
         return self._jits[key]
 
     def _mk_ct(self, arr, fmt=COEFF):
@@ -460,10 +460,18 @@ class _StagedResponder:
     # -- expansion ---------------------------------------------------------
 
     def _make_level_fn(
-        self, element: int, apply_count: int, shift: int, parent_rows: tuple
+        self,
+        element: int,
+        apply_count: int,
+        shift: int,
+        parent_rows: tuple,
+        child0_rows: tuple,
+        child1_rows: tuple,
     ):
         mk_ct, ct_arr = self._mk_ct, self._ct_arr
         rows = np.asarray(parent_rows)
+        c0r = np.asarray(child0_rows)
+        c1r = np.asarray(child1_rows)
 
         def one(arr, ek):  # arr: [polys, W, L, N]
             ct = mk_ct(arr)
@@ -474,12 +482,15 @@ class _StagedResponder:
             p1 = bfv.multiply_power_of_x(bfv.ct_sub(ct, c1), -shift)
             return ct_arr(p0), ct_arr(p1)
 
-        def level(pool, ek):  # pool: [S, B, polys, W, L, N]
+        def level(pool, ek):  # pool: [S_total, B, polys, W, L, N], donated
             parents = pool[rows]
             p0, p1 = jax.vmap(
                 jax.vmap(one, in_axes=(0, None)), in_axes=(0, None)
             )(parents, ek)
-            return jnp.concatenate([pool, p0, p1], axis=0)
+            # in-place child writes into the donated pre-allocated pool —
+            # the concatenate-grown pool copied the whole prefix every
+            # level (~2x the final pool size in HBM traffic per batch)
+            return pool.at[c0r].set(p0).at[c1r].set(p1)
 
         return lambda: level
 
@@ -513,7 +524,23 @@ class _StagedResponder:
         # pool rows are assigned in creation order; map plan slot -> row
         row_of = {0: 0}
         next_row = 1
-        pool = stacked_ct[None]  # [1, B, polys, W, L, N]
+        total_rows = 1 + 2 * sum(len(level) for level in plan.levels)
+        # pre-allocate the whole pool ONCE per shape and keep it across
+        # batches: each stage jit donates it and writes rows in place
+        # (at[].set with input-output aliasing), and every row is fully
+        # rewritten each batch (row 0 by init, children by their level)
+        pool_key = (total_rows,) + tuple(stacked_ct.shape)
+        pools = self.__dict__.setdefault("_pools", {})
+        pool = pools.pop(pool_key, None)
+        if pool is None:
+            pool = jnp.zeros(
+                (total_rows,) + tuple(stacked_ct.shape), stacked_ct.dtype
+            )
+        init = self._stage(
+            ("expand_init", total_rows), lambda: lambda p, ct: p.at[0].set(ct),
+            donate=(0,),
+        )
+        pool = init(pool, stacked_ct)
         for level_index, level in enumerate(plan.levels):
             if not level:
                 continue
@@ -529,13 +556,20 @@ class _StagedResponder:
             apply_count = 1 << (
                 ser.floor_log2(target_element - 1) - ser.floor_log2(element - 1)
             )
+            n = len(level)
             parent_rows = tuple(row_of[p] for p, _, _ in level)
+            child0_rows = tuple(range(next_row, next_row + n))
+            child1_rows = tuple(range(next_row + n, next_row + 2 * n))
             step = self._stage(
-                ("expand", element, apply_count, shift, parent_rows),
-                self._make_level_fn(element, apply_count, shift, parent_rows),
+                ("expand", element, apply_count, shift, parent_rows,
+                 child0_rows, child1_rows, total_rows),
+                self._make_level_fn(
+                    element, apply_count, shift, parent_rows,
+                    child0_rows, child1_rows,
+                ),
+                donate=(0,),
             )
             pool = step(pool, evaluation_key)
-            n = len(level)
             for i, (_, c0_slot, c1_slot) in enumerate(level):
                 row_of[c0_slot] = next_row + i
                 row_of[c1_slot] = next_row + n + i
@@ -546,7 +580,9 @@ class _StagedResponder:
             ("expand_leaves", leaf_rows, doubled),
             self._make_leaf_fn(leaf_rows, doubled),
         )
-        return fin(pool)
+        out = fin(pool)
+        pools[pool_key] = pool  # reuse the buffer for the next batch
+        return out
 
     # -- dim-0 ct·pt inner products -----------------------------------------
 

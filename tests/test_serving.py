@@ -230,3 +230,28 @@ def test_batched_server_key_compression(compression):
             for rc, gc in zip(ref_reply, got_reply):
                 for rp, gp in zip(rc.polys, gc.polys):
                     assert (np.asarray(rp.data) == np.asarray(gp.data)).all()
+
+
+def test_compute_response_stream_matches_batches(setup):
+    """Pipelined multi-batch serving returns the same responses as
+    batch-at-a-time calls (and in order)."""
+    ctx, sk, parameter, database, processed, client, ek = setup
+    server = serving.BatchedMulPirServer(parameter, ctx, [processed])
+    batches = [
+        [client.generate_query([1], sk), client.generate_query([4], sk)],
+        [client.generate_query([7], sk), client.generate_query([9], sk)],
+    ]
+    streamed = server.compute_response_stream(batches, ek)
+    assert len(streamed) == 4
+    expected_indices = [1, 4, 7, 9]
+    for r, i in zip(streamed, expected_indices):
+        got = client.decrypt(r, [i], sk)
+        assert got[0][:2] == database[i]
+    # bit-identical to the per-batch path
+    per_batch = [
+        r for batch in batches for r in server.compute_response_batch(batch, ek)
+    ]
+    for a, b in zip(streamed, per_batch):
+        for ra, rb in zip(a.ciphertexts[0], b.ciphertexts[0]):
+            for pa, pb in zip(ra.polys, rb.polys):
+                assert (np.asarray(pa.data) == np.asarray(pb.data)).all()
