@@ -22,6 +22,17 @@ import numpy as np
 
 SWIFT_CPU_BASELINE_QUERIES_PER_SEC = 20.0
 SWIFT_CPU_BASELINE_NTT_PER_SEC = 1000.0
+# w64 MulPIR (N=8192 3x55, dims (11,4)) typical-end model: SEAL-class
+# native-u64 per-op costs (NTT ~0.4 ms 2-row, KS ~2.5 ms, BEHZ ct-ct+relin
+# ~6 ms) give ~75 ms/query/core; Swift 2-4x that, 8-16 effective cores ->
+# 26-107 q/s. Typical end (matching the w32 convention): 30. See
+# BASELINE.md "w64 and PNNS denominators" — the XLA:CPU per-op anchors are
+# NOT used (the u32-limb kernels under-estimate a native-64-bit CPU).
+SWIFT_CPU_BASELINE_W64_QUERIES_PER_SEC = 30.0
+# PNNS 4096x128: measured XLA:CPU full-pipeline anchor 16.4 q/s/core
+# (benchmarks/cpu_baseline_pnns.py) -> 16-core bound 263 q/s; an UPPER
+# bound on the Swift number, so the published multiplier is a floor.
+SWIFT_CPU_BASELINE_PNNS_QUERIES_PER_SEC = 263.0
 
 # The driver kills the bench process at a hard wall-clock limit (round 3
 # timed out mid-secondary with the headline still unmeasured). The headline
@@ -284,7 +295,10 @@ def bench_pnns(db_rows=4096, dim=128, batch=16, n_iters=5):
             out = server._respond_arrays(stacked, ek, batch)
         fence(out[0][0])
         qps = max(qps, batch * n_iters / (time.perf_counter() - t0))
-    log(f"PNNS steady state: {qps:.2f} queries/sec (batch={batch}, {db_rows}x{dim}, best of 6)")
+    log(f"PNNS steady state: {qps:.2f} queries/sec (batch={batch}, "
+        f"{db_rows}x{dim}, best of 6; "
+        f"{qps / SWIFT_CPU_BASELINE_PNNS_QUERIES_PER_SEC:.1f}x the measured "
+        f"16-core XLA:CPU bound)")
     return qps
 
 
@@ -350,7 +364,9 @@ def bench_pir_w64(entry_count=1_000_000, entry_size=1, batch=128, n_iters=5):
         fence(out[0][0])
         qps = max(qps, batch * n_iters / (time.perf_counter() - t0))
     log(f"secondary: w64 MulPIR (N=8192 3x55, {entry_count} entries): "
-        f"{qps:.2f} queries/sec (batch={batch}, best of 6)")
+        f"{qps:.2f} queries/sec (batch={batch}, best of 6; "
+        f"{qps / SWIFT_CPU_BASELINE_W64_QUERIES_PER_SEC:.1f}x the modeled "
+        f"CPU baseline)")
     return qps
 
 
@@ -412,7 +428,9 @@ def bench_pnns_w64(db_rows=4096, dim=128, batch=8, n_iters=5):
         fence(out[0][0])
         qps = max(qps, batch * n_iters / (time.perf_counter() - t0))
     log(f"secondary: w64 PNNS ({db_rows}x{dim}): {qps:.2f} queries/sec "
-        f"(batch={batch}, best of 6)")
+        f"(batch={batch}, best of 6; "
+        f"{qps / SWIFT_CPU_BASELINE_PNNS_QUERIES_PER_SEC:.1f}x the measured "
+        f"16-core XLA:CPU bound)")
     return qps
 
 
