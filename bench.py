@@ -370,7 +370,7 @@ def bench_pir_w64(entry_count=1_000_000, entry_size=1, batch=128, n_iters=5):
     return qps
 
 
-def bench_pnns_w64(db_rows=4096, dim=128, batch=8, n_iters=5):
+def bench_pnns_w64(db_rows=4096, dim=128, batch=16, n_iters=5):
     """Secondary: PNNS under Bfv<UInt64> semantics — the reference runs the
     same 27/28/28 parameter set with 64-bit scalars (PnnsBenchmark.swift:
     22-28); here that is the 2-limb kernel path (staged pipeline, the TPU

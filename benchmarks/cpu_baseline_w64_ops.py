@@ -94,20 +94,12 @@ pt_eval = bfv.plaintext_to_eval(
 mul = jax.jit(lambda c, p: bfv.ct_mul_pt(c, p))
 t_mac = timed("ct-pt Eval multiply", mul, ct_eval, pt_eval)
 
-# 4. BEHZ ct-ct multiply + relinearize
-ct2 = bfv.encrypt(pt, sk, err_rng=det(b"2"))
-mulrelin = jax.jit(lambda a, b, k: bfv.ct_mul_relin(a, b, k))
-t_ctct = timed("BEHZ ct-ct + relin", mulrelin, ct, ct2, ek)
-
-# 5. modSwitchDownToSingle
-ms = jax.jit(lambda c: bfv.mod_switch_down_to_single(c))
-t_ms = timed("modSwitchDownToSingle", ms, ct)
-
-per_query = 14 * t_ks + 22 * t_ntt + 44 * t_mac + 4 * t_ctct + t_ms
-qps = 1.0 / per_query
-print(
-    f"modeled w64 MulPIR query: {per_query*1e3:.1f} ms on {n_cores} cores -> "
-    f"{qps:.2f} q/s; per-core {qps/n_cores:.3f}; "
-    f"16-core reference-host bound: {16*qps/n_cores:.2f} q/s",
-    flush=True,
-)
+# 4./5. BEHZ ct-ct + relin and modSwitch are NOT anchored here: the fused
+# w64 BEHZ graph is pathological for XLA:CPU's backend (>40 min compile;
+# same pathology as the skipped sharded-w64 test). The NTT/KS/MAC anchors
+# above already demonstrate the point recorded in BASELINE.md: the
+# u32-limb formulation UNDER-estimates a native-64-bit CPU (a SEAL-class
+# native NTT is ~40x faster than the 25 ms measured here), so none of
+# these anchors are used as baseline denominators — the w64 denominator is
+# the literature-anchored model in bench.py.
+print("(BEHZ/modswitch anchors skipped: pathological XLA:CPU compile)", flush=True)

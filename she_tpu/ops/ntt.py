@@ -260,14 +260,22 @@ def inv_final_stage(W, x, nb, nbs, nwb, nwbs, qb, q2b, t: int):
 
 
 def _use_radix4(W) -> bool:
-    """Radix-4 default for the 2-limb path only: fenced v5e A/B
-    (benchmarks/ntt_radix4_ab.py): w64 1.06x, w32 0.99x."""
+    """Radix-4 default for the 2-limb path on accelerator backends only:
+    fenced v5e A/B (benchmarks/ntt_radix4_ab.py) measured w64 1.06x
+    standalone (1.2x fused into the serving programs), w32 0.99x — and
+    XLA:CPU's LLVM backend is superlinear on the doubled per-stage fused
+    graphs (the same pathology as the fused u128 MAC), so CPU keeps
+    radix-2."""
     import os
 
     flag = os.environ.get("SHE_TPU_NTT_RADIX4")
     if flag is not None:
         return flag == "1"
-    return W is W64
+    if W is not W64:
+        return False
+    import jax
+
+    return jax.default_backend() != "cpu"
 
 
 def forward_ntt_arrays(x, n: int, W, q, q2, roots, roots_sh):

@@ -482,6 +482,14 @@ class _StagedResponder:
             p1 = bfv.multiply_power_of_x(bfv.ct_sub(ct, c1), -shift)
             return ct_arr(p0), ct_arr(p1)
 
+        # children occupy one contiguous row range [c0r[0], c1r[-1]]; a
+        # static-slice at[].set lowers to dynamic_update_slice (XLA:CPU's
+        # scatter lowering for at[index_array].set is pathological to
+        # compile, and contiguous updates are faster on TPU too)
+        start = int(c0r[0])
+        count = len(c0r) + len(c1r)
+        assert list(c0r) + list(c1r) == list(range(start, start + count))
+
         def level(pool, ek):  # pool: [S_total, B, polys, W, L, N], donated
             parents = pool[rows]
             p0, p1 = jax.vmap(
@@ -490,7 +498,8 @@ class _StagedResponder:
             # in-place child writes into the donated pre-allocated pool —
             # the concatenate-grown pool copied the whole prefix every
             # level (~2x the final pool size in HBM traffic per batch)
-            return pool.at[c0r].set(p0).at[c1r].set(p1)
+            children = jnp.concatenate([p0, p1], axis=0)
+            return pool.at[start : start + count].set(children)
 
         return lambda: level
 
