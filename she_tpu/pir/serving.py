@@ -1034,23 +1034,38 @@ class BatchedMulPirServer:
 
         return jax.vmap(one)(stacked)
 
+    def _unbind_batch(self, arr):
+        """[B, polys, ...] -> B x polys nested tuples of [.,..] arrays in
+        ONE jitted dispatch (per-query/per-poly slicing costs ~1 ms tunnel
+        latency each, which dominated end-to-end assembly at B=128)."""
+        B, P = arr.shape[0], arr.shape[1]
+        jits = self.__dict__.setdefault("_unbind_jits", {})
+        if (B, P) not in jits:
+            jits[(B, P)] = jax.jit(
+                lambda a: tuple(
+                    tuple(a[b, p] for p in range(P)) for b in range(B)
+                )
+            )
+        return jits[(B, P)](arr)
+
     def _assemble_responses(self, out, B: int) -> list:
         """out: per query index, per chunk, [B, polys, W, L, N] arrays."""
         responses = []
         single_ctx = self.ct_ctx.get_context(1)
+        unbound = [
+            [self._unbind_batch(chunk_arrays) for chunk_arrays in reply_arrays]
+            for reply_arrays in out
+        ]
         for b in range(B):
             per_index = []
-            for reply_arrays in out:
+            for reply_parts in unbound:
                 reply = []
-                for chunk_arrays in reply_arrays:
-                    arr = chunk_arrays[b]
+                for chunk_parts in reply_parts:
+                    polys = chunk_parts[b]
                     reply.append(
                         bfv.Ciphertext(
                             self.context,
-                            [
-                                PolyRq(arr[p], single_ctx, COEFF)
-                                for p in range(arr.shape[0])
-                            ],
+                            [PolyRq(p, single_ctx, COEFF) for p in polys],
                         )
                     )
                 per_index.append(reply)

@@ -399,10 +399,29 @@ class BatchedPnnsServer:
             self._jit[key] = jax.jit(run) if fused else run
         return self._jit[key](stacked, evaluation_key)
 
+    def _unbind_batch(self, arr):
+        """[B, polys, ...] -> B x polys nested tuples in ONE jitted dispatch
+        (see pir.serving.BatchedMulPirServer._unbind_batch)."""
+        import jax
+
+        B, P = arr.shape[0], arr.shape[1]
+        jits = self.__dict__.setdefault("_unbind_jits", {})
+        if (B, P) not in jits:
+            jits[(B, P)] = jax.jit(
+                lambda a: tuple(
+                    tuple(a[b, p] for p in range(P)) for b in range(B)
+                )
+            )
+        return jits[(B, P)](arr)
+
     def _assemble_responses(self, out, B: int) -> list:
         """out: per matrix, per result ct, [B, polys, W, L, N] arrays."""
         n_matrices = len(self.packed)
         responses = []
+        unbound = [
+            [self._unbind_batch(arrs) for arrs in out[mi]]
+            for mi in range(n_matrices)
+        ]
         for b in range(B):
             matrices = []
             for mi in range(n_matrices):
@@ -411,12 +430,9 @@ class BatchedPnnsServer:
                 cts = [
                     bfv.Ciphertext(
                         ctx,
-                        [
-                            PolyRq(arrs[b][p], single_ctx, COEFF)
-                            for p in range(arrs[b].shape[0])
-                        ],
+                        [PolyRq(p, single_ctx, COEFF) for p in parts[b]],
                     )
-                    for arrs in out[mi]
+                    for parts in unbound[mi]
                 ]
                 dims = pnns.MatrixDimensions(
                     self.database.plaintext_matrices[mi].row_count, 1
