@@ -1,5 +1,7 @@
 """Batched TPU serving pipeline: bit-identical to the reference-path server."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -173,7 +175,21 @@ def jnp_stack_polys(ct):
     return np.stack([np.asarray(p.data) for p in ct.polys])
 
 
-@pytest.mark.parametrize("staged", [False, True])
+@pytest.mark.parametrize(
+    "staged",
+    [
+        False,
+        pytest.param(
+            True,
+            marks=pytest.mark.skipif(
+                os.environ.get("SHE_TPU_SLOW_TESTS") != "1",
+                reason="staged w64 under pytest exceeds 20 min on XLA:CPU; "
+                "run benchmarks/staged_w64_cpu_check.py or set "
+                "SHE_TPU_SLOW_TESTS=1",
+            ),
+        ),
+    ],
+)
 def test_batched_server_w64(staged, monkeypatch, w64_setup):
     """Batched serving on the 2-limb (w64) path matches the reference-path
     server bit-for-bit and decrypts correctly (eager-vmap CPU default and
@@ -190,14 +206,6 @@ def test_batched_server_w64(staged, monkeypatch, w64_setup):
     (ctx, sk, parameter, database, processed, client, ek, indices, queries,
      ref_arrays) = w64_setup
     if staged:
-        import os
-
-        if os.environ.get("SHE_TPU_SLOW_TESTS") != "1":
-            pytest.skip(
-                "staged w64 under pytest exceeds 20 min on XLA:CPU; run "
-                "benchmarks/staged_w64_cpu_check.py or set "
-                "SHE_TPU_SLOW_TESTS=1"
-            )
         monkeypatch.setenv("SHE_TPU_STAGED_SERVING", "1")
     batched_server = serving.BatchedMulPirServer(parameter, ctx, [processed])
     batch_responses = batched_server.compute_response_batch(queries, ek)
