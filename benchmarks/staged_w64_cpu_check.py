@@ -1,7 +1,9 @@
 """Standalone CI check: the staged w64 batched server is bit-identical
 to the reference-path server (the pytest variant of this assertion is
-gated by SHE_TPU_SLOW_TESTS because the same work under pytest repeatedly
-exceeds 20 min on this host; as a plain script it completes in minutes).
+gated by SHE_TPU_SLOW_TESTS). Cost warning: the staged respond compiles
+in ~70 s from the disk cache, but the eager reference pass pays XLA:CPU
+per-op compiles — 20-40+ min on a cold 2-core host (same against the
+round-4 commit; an XLA:CPU property, not a code regression).
 
 Usage: python benchmarks/staged_w64_cpu_check.py
 """

@@ -196,13 +196,15 @@ def test_batched_server_w64(staged, monkeypatch, w64_setup):
     the staged pipeline that accelerator backends default to — the round-4
     review's CPU-coverage item for the staged w64 programs).
 
-    The staged variant is gated by SHE_TPU_SLOW_TESTS: the identical
-    assertions run as a plain script in ~4-6 min on this 2-core host
-    (benchmarks/staged_w64_cpu_check.py — bit-equality verified), but
-    under pytest the same staged+eager combination repeatedly exceeds
-    20+ min (an XLA:CPU compile/caching interaction we timed against the
-    round-4 commit too — not a regression, and not understood; the TPU
-    bench decrypt-checks the staged w64 path every round regardless)."""
+    The staged variant is gated by SHE_TPU_SLOW_TESTS: the w64 EAGER
+    reference pass costs 20-40+ min of XLA:CPU per-op compiles on this
+    2-core host when its in-process caches are cold (measured identically
+    against the round-4 commit in a worktree — a long-standing XLA:CPU
+    property, not a regression). The staged respond itself compiles in
+    ~70 s from the disk cache (benchmarks/staged_w64_cpu_check.py).
+    Coverage without the gate: the w32 staged test above exercises the
+    same donated-pool stage code bit-exactly against the reference, and
+    the TPU bench decrypt-checks staged w64 end-to-end every round."""
     (ctx, sk, parameter, database, processed, client, ek, indices, queries,
      ref_arrays) = w64_setup
     if staged:
